@@ -1,0 +1,185 @@
+"""Dataset contract + training-step integration tests (8-device CPU mesh)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unet_convlstm_tpu.data.moving_mnist import (
+    generate_moving_mnist, synthetic_digit_bank, save_moving_mnist_npz,
+)
+from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+from unet_convlstm_tpu.data.pipeline import SequenceLoader, prefetch_to_device
+from unet_convlstm_tpu.ops.normalize import (
+    compute_mask, normalize_x, normalize_y, denormalize_y,
+)
+from unet_convlstm_tpu.parallel.mesh import make_mesh, batch_sharding
+from unet_convlstm_tpu.models.registry import build_model
+from unet_convlstm_tpu.train import (
+    make_optimizer, make_train_step, make_eval_step,
+    ReduceLROnPlateau, set_learning_rate,
+    save_checkpoint, restore_checkpoint,
+)
+from unet_convlstm_tpu.train.optim import get_learning_rate
+from unet_convlstm_tpu.train.metrics import metric_sums_finalize
+
+
+@pytest.fixture(scope="module")
+def npz_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "mm.npz"
+    save_moving_mnist_npz(str(path), seq_len=4, num_samples=12,
+                          image_size=32, num_digits=1, seed=0, as_xy=True)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def dataset(npz_path):
+    return NPZSequenceDataset(npz_path)
+
+
+def test_dataset_getitem_matches_device_normalize(dataset):
+    """Host __getitem__ (the reference per-sample contract, train/unet.py:
+    273-304) must agree with the fused on-device normalize path."""
+    x_host, y_host, mask_host = dataset[3]  # NCHW
+    x_raw, y_raw = dataset.get_batch_raw(np.array([3]))  # NHWC
+    s = dataset.stats
+    x_dev = np.moveaxis(np.asarray(normalize_x(jnp.asarray(x_raw), s))[0], -1, 1)
+    y_dev = np.moveaxis(np.asarray(normalize_y(jnp.asarray(y_raw), s))[0], -1, 1)
+    m_dev = np.moveaxis(np.asarray(compute_mask(jnp.asarray(x_raw), s))[0], -1, 1)
+    np.testing.assert_allclose(x_host, x_dev, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(y_host, y_dev, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(mask_host, m_dev)
+
+
+def test_denormalize_roundtrip_through_dataset(dataset):
+    _, y_norm, _ = dataset[0]
+    y_raw_back = dataset.denormalize(y_norm)
+    # raw Y within clip bounds must round-trip
+    y_clip = np.clip(dataset.Y[0], dataset.stats.min_vel, dataset.stats.max_vel)
+    np.testing.assert_allclose(y_raw_back, y_clip, rtol=1e-4, atol=1e-4)
+    # device version agrees with host version
+    dev = np.asarray(denormalize_y(jnp.asarray(y_norm), dataset.stats))
+    np.testing.assert_allclose(dev, y_raw_back, rtol=1e-5, atol=1e-5)
+
+
+def test_split_deterministic(dataset):
+    a1, b1 = dataset.train_val_split(0.8, 42)
+    a2, b2 = dataset.train_val_split(0.8, 42)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    assert len(a1) == int(0.8 * len(dataset))
+    assert set(a1) | set(b1) == set(range(len(dataset)))
+
+
+def test_loader_covers_all_indices(dataset):
+    idx = np.arange(len(dataset))
+    loader = SequenceLoader(dataset, idx, batch_size=5, shuffle=True, seed=1)
+    seen = 0
+    for x, y in loader:
+        assert x.shape[1:] == (dataset.T, dataset.H, dataset.W, 2)
+        assert y.shape[1:] == (dataset.T, dataset.H, dataset.W, 1)
+        seen += x.shape[0]
+    assert seen == len(dataset)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()  # all 8 virtual devices on 'data'
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg_dict = {"type": "custom", "base_ch": 4, "use_skip_lstm": True,
+                "use_attention": True, "lstm_layers": 1}
+    cfg, init_fn, apply_fn, init_state = build_model(cfg_dict)
+    variables = init_fn(jax.random.PRNGKey(0))
+    return cfg, variables, apply_fn
+
+
+def test_train_step_runs_and_learns(dataset, mesh, tiny_model):
+    _, variables, apply_fn = tiny_model
+    tx = make_optimizer(1e-2)
+    state = {"params": variables["params"], "stats": variables["stats"],
+             "opt_state": tx.init(variables["params"])}
+    step = make_train_step(apply_fn, tx, dataset.stats, use_mask=False,
+                           mesh=mesh)
+    x_raw, y_raw = dataset.get_batch_raw(np.arange(8))
+    shard = batch_sharding(mesh)
+    x_raw = jax.device_put(x_raw, shard)
+    y_raw = jax.device_put(y_raw, shard)
+    losses = []
+    for _ in range(4):
+        state, loss, sums = step(state, x_raw, y_raw)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # one batch repeated must improve
+    m = metric_sums_finalize(jax.device_get(sums))
+    assert m["rmse"] >= m["mae"] >= 0
+
+
+def test_eval_step_and_metrics(dataset, mesh, tiny_model):
+    _, variables, apply_fn = tiny_model
+    eval_step = make_eval_step(apply_fn, dataset.stats, use_mask=False,
+                               mesh=mesh)
+    x_raw, y_raw = dataset.get_batch_raw(np.arange(8))
+    loss, sums = eval_step(variables, x_raw, y_raw)
+    assert np.isfinite(float(loss))
+    m = metric_sums_finalize(jax.device_get(sums))
+    assert m["mae"] > 0
+
+
+def test_plateau_scheduler_torch_semantics():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+    assert s.step(1.0) == 1.0       # first: improvement vs inf
+    assert s.step(1.0) == 1.0       # bad 1
+    assert s.step(1.0) == 1.0       # bad 2
+    assert s.step(1.0) == 0.5       # bad 3 > patience → decay
+    assert s.step(0.5) == 0.5       # improvement resets
+    assert s.step(0.6) == 0.5
+    assert s.step(0.6) == 0.5
+    assert s.step(0.6) == 0.25
+
+
+def test_set_learning_rate_no_retrace(dataset, mesh, tiny_model):
+    _, variables, apply_fn = tiny_model
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(variables["params"])
+    assert get_learning_rate(opt_state) == pytest.approx(1e-3)
+    opt_state2 = set_learning_rate(opt_state, 5e-4)
+    assert get_learning_rate(opt_state2) == pytest.approx(5e-4)
+    # same treedef → no recompilation of a jitted step
+    assert (jax.tree_util.tree_structure(opt_state)
+            == jax.tree_util.tree_structure(opt_state2))
+
+
+def test_checkpoint_roundtrip(tmp_path, dataset, tiny_model):
+    _, variables, apply_fn = tiny_model
+    tx = make_optimizer(1e-3)
+    state = {"params": variables["params"], "stats": variables["stats"],
+             "opt_state": tx.init(variables["params"])}
+    meta = {"config": {"type": "custom", "base_ch": 4}, "val_loss": 0.5,
+            "epoch": 3, "norm_stats": dataset.stats.to_dict()}
+    path = save_checkpoint(str(tmp_path), "custom_best", state, meta,
+                           wait=True)
+    restored, meta2 = restore_checkpoint(path, state_template=state)
+    assert meta2["epoch"] == 3
+    assert meta2["config"]["base_ch"] == 4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state, restored)
+
+
+def test_frozen_mask_zeroes_updates(dataset, mesh):
+    """multi_transform freeze: 'encoder'-labelled params must not move."""
+    from unet_convlstm_tpu.train.loop import _trainable_mask
+    params = {"encoder": {"w": jnp.ones((3,))}, "head": {"w": jnp.ones((3,))}}
+    mask = _trainable_mask(params, {"freeze_encoder": True})
+    tx = make_optimizer(1e-1, trainable_mask=mask)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    np.testing.assert_array_equal(np.asarray(updates["encoder"]["w"]), 0.0)
+    assert np.all(np.asarray(updates["head"]["w"]) != 0.0)

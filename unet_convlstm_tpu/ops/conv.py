@@ -71,12 +71,15 @@ def conv2d(params, x, stride: int = 1, padding="SAME",
     x = policy.cast_input(x)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # Output stays in compute dtype: the MXU accumulates in f32 internally
+    # either way, and a preferred_element_type upcast breaks the conv
+    # gradient rule (cotangent/kernel dtype mismatch). Callers that need f32
+    # (BN, gate updates) upcast — XLA fuses the cast into the conv epilogue.
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_CONV_DN,
-        preferred_element_type=policy.accum_dtype,
         precision=policy.precision,
     )
     if "b" in params:
@@ -119,7 +122,6 @@ def conv_transpose2d(params, x, stride: int = 2,
         padding="VALID",
         dimension_numbers=_CONV_DN,
         transpose_kernel=True,
-        preferred_element_type=policy.accum_dtype,
         precision=policy.precision,
     )
     if "b" in params:

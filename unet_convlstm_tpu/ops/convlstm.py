@@ -64,7 +64,9 @@ def convlstm_cell_step(params, x: jax.Array, carry: Carry,
     hidden_dim = h.shape[-1]
     gates = conv2d(params["conv"],
                    jnp.concatenate([x, h.astype(x.dtype)], axis=-1),
-                   policy=policy)  # [B,H,W,4*hidden] float32
+                   policy=policy).astype(policy.accum_dtype)
+    # [B,H,W,4*hidden] — upcast to f32 (fused into the conv epilogue) so the
+    # recurrence update runs in full precision.
     h_next, c_next = _gate_update(gates, c, hidden_dim, use_pallas)
     return h_next, (h_next, c_next)
 
@@ -102,7 +104,9 @@ def convlstm(params, x_seq: jax.Array,
     if hidden_dim is None:
         hidden_dim = params["layer0"]["conv"]["w"].shape[-1] // 4
     if state is None:
-        state = [convlstm_zero_state(B, H, W, hidden_dim, x_seq.dtype)
+        # Carry lives in the accumulation dtype (f32) regardless of the
+        # compute dtype — recurrence drift in bf16 compounds over T steps.
+        state = [convlstm_zero_state(B, H, W, hidden_dim, policy.accum_dtype)
                  for _ in range(num_layers)]
 
     out = x_seq

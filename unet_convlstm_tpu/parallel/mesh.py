@@ -1,0 +1,76 @@
+"""Mesh construction + sharding rules (DP over ICI; seams for TP/SP).
+
+Design (SURVEY.md §2.4, "How to Scale Your Model" recipe):
+
+* Mesh axes: ``data`` (batch / DP) and ``model`` (channel / TP). For the
+  reference-parity workloads the largest layer (the 2048→4096-channel gate
+  conv at base_ch=64) fits on one chip, so the default mesh is
+  ``(data=N, model=1)`` — pure DP, gradients psum over ICI under jit.
+* Batch arrays are sharded ``P('data')`` on their leading axis; parameters
+  and optimizer state are replicated (``P()``).
+* Scale-up seam: ``MeshRules.conv_kernel`` shards conv kernels' output
+  channels over ``model`` — flipping ``model>1`` channel-shards every conv
+  without touching model code (XLA inserts the halo/all-reduce traffic).
+* Sequence/context parallelism seam: time stays on-device via lax.scan
+  (T≤40); for very long rollouts shard T and ppermute the (h,c) carry —
+  documented design seam, not needed for parity (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a 2-D ``(data, model)`` mesh. ``data=None`` → all devices / model.
+
+    The ``data`` axis maps to the fastest-varying device order so DP
+    gradient reductions ride ICI neighbours first.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    if data * model > len(devices):
+        raise ValueError(f"mesh {data}x{model} exceeds {len(devices)} devices")
+    grid = np.array(devices[:data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding for [B, ...] arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_spec(ndim: int) -> P:
+    """PartitionSpec sharding only the leading (batch) axis."""
+    return P(*(("data",) + (None,) * (ndim - 1)))
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshRules:
+    """Partition rules applied to the params pytree by leaf role."""
+    mesh: Mesh
+    shard_model_channels: bool = False  # TP seam: conv out-channels on 'model'
+
+    def param_spec(self, path: str, leaf) -> P:
+        if self.shard_model_channels and leaf.ndim == 4:
+            # HWIO conv kernels: shard output channels.
+            return P(None, None, None, "model")
+        return P()
+
+    def params_sharding(self, params) -> "jax.tree_util.PyTreeDef":
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        specs = [self.param_spec(jax.tree_util.keystr(kp), leaf)
+                 for kp, leaf in flat]
+        shardings = [NamedSharding(self.mesh, s) for s in specs]
+        return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -1,0 +1,92 @@
+"""Checkpointing — Orbax, with config embedded beside the state.
+
+Capability parity and upgrades vs. the reference:
+
+* The reference ``torch.save``s ``{model_state, config, val_loss, epoch}``
+  only on a new best val loss (main.py:307-323) and never saves optimizer or
+  scheduler state — no true resume (SURVEY.md §5). Here every checkpoint
+  carries params + BatchNorm stats + optimizer state + plateau-scheduler
+  state + normalization manifest, so training resumes exactly.
+* The embedded config keeps the reference's dispatch-on-load capability
+  (get_metrics.py:67-90): ``restore_checkpoint`` + ``models.build_model``
+  reconstructs the right model from the checkpoint alone.
+* Saves are async (Orbax AsyncCheckpointer) so the chips keep training while
+  the host serializes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _checkpointer() -> ocp.AsyncCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _CKPTR
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
+                    metadata: Dict[str, Any], wait: bool = False) -> str:
+    """Write ``state`` (params/stats/opt_state pytree) under
+    ``ckpt_dir/name`` plus a ``meta.json`` (config, epoch, val_loss,
+    norm_stats, scheduler)."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckptr = _checkpointer()
+    ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state),
+               force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(metadata, f, indent=2, default=float)
+    if wait:
+        ckptr.wait_until_finished()
+    return path
+
+
+def wait_for_saves() -> None:
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def restore_checkpoint(path: str,
+                       state_template: Optional[Dict[str, Any]] = None
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (state, metadata). With a template the state restores with the
+    exact pytree structure/dtypes (required for optax namedtuple states);
+    without one it restores as nested dicts (fine for params-only use)."""
+    path = os.path.abspath(path)
+    _checkpointer().wait_until_finished()
+    ckptr = ocp.StandardCheckpointer()
+    if state_template is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            state_template)
+        state = ckptr.restore(os.path.join(path, "state"), target=abstract)
+    else:
+        state = ckptr.restore(os.path.join(path, "state"))
+    with open(os.path.join(path, "meta.json")) as f:
+        metadata = json.load(f)
+    return state, metadata
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Most recently written checkpoint directory (by meta.json mtime)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_t = None, -1.0
+    for name in os.listdir(ckpt_dir):
+        meta = os.path.join(ckpt_dir, name, "meta.json")
+        if os.path.exists(meta):
+            t = os.path.getmtime(meta)
+            if t > best_t:
+                best, best_t = os.path.join(ckpt_dir, name), t
+    return best

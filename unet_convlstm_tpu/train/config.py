@@ -1,0 +1,71 @@
+"""Training configuration — one dataclass tree + CLI overrides.
+
+Replaces the reference's edit-in-place module constants (main.py:212-228)
+with a serializable config that is embedded into every checkpoint (keeping
+the reference's dispatch-on-saved-config capability, get_metrics.py:67-90).
+Defaults mirror reference main.py:215-228.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    npz_path: str = ""
+    min_y: Optional[float] = None
+    max_y: Optional[float] = None
+    train_frac: float = 0.8
+    split_seed: int = 42          # reference main.py:244
+    # optimization (reference main.py:215-218, 106, 278-280)
+    batch_size: int = 32
+    epochs: int = 200
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    use_mask: bool = False        # reference main.py:219
+    # model (type-dispatched; reference main.py:213, 224-228)
+    model: Dict[str, Any] = dataclasses.field(default_factory=lambda: {
+        "type": "custom", "base_ch": 64, "use_attention": False,
+        "use_skip_lstm": True, "lstm_layers": 1,
+    })
+    # runtime
+    seed: int = 42
+    use_pallas: bool = True
+    remat: bool = False           # jax.checkpoint the per-frame encoder
+    mesh_data: Optional[int] = None   # None → all devices
+    mesh_model: int = 1
+    checkpoint_dir: str = "checkpoints"
+    log_every: int = 50
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def apply_overrides(self, overrides: Dict[str, str]) -> "TrainConfig":
+        """Apply 'key=value' CLI overrides ('model.base_ch=32' supported)."""
+        d = self.to_dict()
+        for key, val in overrides.items():
+            tgt = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                tgt = tgt[p]
+            old = tgt.get(parts[-1])
+            if isinstance(old, bool):
+                tgt[parts[-1]] = val.lower() in ("1", "true", "yes")
+            elif isinstance(old, int):
+                tgt[parts[-1]] = int(val)
+            elif isinstance(old, float):
+                tgt[parts[-1]] = float(val)
+            else:
+                tgt[parts[-1]] = val
+        return TrainConfig.from_dict(d)

@@ -1,0 +1,170 @@
+"""Epoch driver — the TPU equivalent of reference main.py's __main__ loop.
+
+Structure parity (main.py:211-325): dataset → deterministic 80/20 split →
+model init (type-dispatched) → AdamW(+freeze filter) → per-epoch train/eval
+with denormalized MAE/RMSE/ME lines → ReduceLROnPlateau on val loss →
+best-val checkpoint with embedded config.
+
+TPU-first differences:
+
+* One jitted fused step (see steps.py); raw batches stream through a
+  double-buffered device prefetch queue.
+* Per-step scalars stay on device; the only host sync is at epoch end.
+* Checkpoints carry optimizer + scheduler state → true resume.
+* Optional ``jax.profiler`` trace of a step window (SURVEY.md §5: the
+  reference has no tracing at all).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.npz_dataset import NPZSequenceDataset
+from ..data.pipeline import SequenceLoader, prefetch_to_device
+from ..models.registry import build_model
+from ..parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from .config import TrainConfig
+from .checkpoint import save_checkpoint
+from .metrics import metric_sums_init, metric_sums_finalize
+from .optim import ReduceLROnPlateau, make_optimizer, set_learning_rate
+from .steps import make_train_step, make_eval_step
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _trainable_mask(params: Dict[str, Any], model_cfg: Dict[str, Any]):
+    """Frozen-encoder filter (reference main.py:257-261 trains only
+    requires_grad params; resnet18.py:41-44 freezes the encoder)."""
+    if not model_cfg.get("freeze_encoder", False):
+        return None
+    return {k: jax.tree_util.tree_map(lambda _: k != "encoder", v)
+            for k, v in params.items()}
+
+
+def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
+        epochs: Optional[int] = None, verbose: bool = True,
+        profile_dir: Optional[str] = None) -> Dict[str, Any]:
+    """Train per config; returns {'state', 'history', 'best_val_loss', ...}."""
+    log = print if verbose else (lambda *a, **k: None)
+
+    if dataset is None:
+        dataset = NPZSequenceDataset(cfg.npz_path, min_y=cfg.min_y,
+                                     max_y=cfg.max_y)
+    train_idx, val_idx = dataset.train_val_split(cfg.train_frac,
+                                                 cfg.split_seed)
+    log(f"Dataset: N={len(dataset)} T={dataset.T} {dataset.H}x{dataset.W} "
+        f"-> train {len(train_idx)} / val {len(val_idx)}")
+
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    n_data = mesh.shape["data"]
+    if cfg.batch_size % n_data:
+        raise ValueError(f"batch {cfg.batch_size} not divisible by "
+                         f"data-parallel degree {n_data}")
+
+    model_cfg, init_fn, apply_fn, _ = build_model(cfg.model)
+    key = jax.random.PRNGKey(cfg.seed)
+    with jax.default_device(jax.devices()[0]):
+        variables = init_fn(key)
+    variables = jax.device_put(variables, replicated_sharding(mesh))
+
+    mask = _trainable_mask(variables["params"], cfg.model)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip,
+                        trainable_mask=mask)
+    opt_state = jax.device_put(tx.init(variables["params"]),
+                               replicated_sharding(mesh))
+    state = {"params": variables["params"], "stats": variables["stats"],
+             "opt_state": opt_state}
+
+    train_step = make_train_step(apply_fn, tx, dataset.stats,
+                                 use_mask=cfg.use_mask, mesh=mesh)
+    eval_step = make_eval_step(apply_fn, dataset.stats,
+                               use_mask=cfg.use_mask, mesh=mesh)
+    scheduler = ReduceLROnPlateau(cfg.lr, cfg.plateau_factor,
+                                  cfg.plateau_patience)
+
+    bat_shard = batch_sharding(mesh)
+    train_loader = SequenceLoader(dataset, train_idx, cfg.batch_size,
+                                  shuffle=True, seed=cfg.seed,
+                                  drop_remainder=True)
+    val_loader = SequenceLoader(dataset, val_idx, cfg.batch_size,
+                                shuffle=False)
+
+    model_name = cfg.model.get("type", "custom")
+    best_val = float("inf")
+    history = []
+    n_epochs = epochs if epochs is not None else cfg.epochs
+    global_step = 0
+
+    for epoch in range(1, n_epochs + 1):
+        # ---- train ----
+        t0 = time.time()
+        losses, sums = [], metric_sums_init()
+        n_seen = 0
+        for x_raw, y_raw in prefetch_to_device(train_loader, 2, bat_shard):
+            if profile_dir and global_step == 10:
+                jax.profiler.start_trace(profile_dir)
+            state, loss, s = train_step(state, x_raw, y_raw)
+            losses.append(loss * x_raw.shape[0])
+            sums = _tree_add(sums, s)
+            n_seen += x_raw.shape[0]
+            global_step += 1
+            if profile_dir and global_step == 20:
+                jax.profiler.stop_trace()
+        tr_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
+        tr = metric_sums_finalize(jax.device_get(sums))
+        tr_time = time.time() - t0
+
+        # ---- eval ----
+        variables = {"params": state["params"], "stats": state["stats"]}
+        losses, sums = [], metric_sums_init()
+        n_seen = 0
+        for x_raw, y_raw in prefetch_to_device(val_loader, 2, bat_shard):
+            loss, s = eval_step(variables, x_raw, y_raw)
+            losses.append(loss * x_raw.shape[0])
+            sums = _tree_add(sums, s)
+            n_seen += x_raw.shape[0]
+        val_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
+        va = metric_sums_finalize(jax.device_get(sums))
+
+        lr = scheduler.step(val_loss)
+        state["opt_state"] = set_learning_rate(state["opt_state"], lr)
+
+        row = {"epoch": epoch, "lr": lr, "train_loss": tr_loss,
+               "val_loss": val_loss, "train_time_s": tr_time,
+               **{f"train_{k}": v for k, v in tr.items()},
+               **{f"val_{k}": v for k, v in va.items()}}
+        history.append(row)
+        log(f"Epoch {epoch}/{n_epochs}: "
+            f"Train Loss={tr_loss:.4f} MAE={tr['mae']:.4f} "
+            f"RMSE={tr['rmse']:.4f} ME={tr['me']:.4f} | "
+            f"Val Loss={val_loss:.4f} MAE={va['mae']:.4f} "
+            f"RMSE={va['rmse']:.4f} ME={va['me']:.4f} "
+            f"| lr={lr:.2e} ({tr_time:.1f}s)")
+
+        if val_loss < best_val:
+            best_val = val_loss
+            if cfg.checkpoint_dir:
+                save_checkpoint(
+                    cfg.checkpoint_dir, f"{model_name}_best", state,
+                    {"config": cfg.to_dict(), "val_loss": best_val,
+                     "epoch": epoch,
+                     "norm_stats": dataset.stats.to_dict(),
+                     "scheduler": scheduler.state_dict()})
+                log("   -> new best; checkpoint saved")
+
+    if cfg.checkpoint_dir:
+        save_checkpoint(
+            cfg.checkpoint_dir, f"{model_name}_last", state,
+            {"config": cfg.to_dict(), "val_loss": best_val,
+             "epoch": n_epochs, "norm_stats": dataset.stats.to_dict(),
+             "scheduler": scheduler.state_dict()}, wait=True)
+
+    return {"state": state, "history": history, "best_val_loss": best_val,
+            "mesh": mesh, "apply_fn": apply_fn, "dataset": dataset}

@@ -1,0 +1,108 @@
+"""Jitted train / eval steps — the hot path.
+
+One ``train_step`` call does, entirely on device (contrast reference
+main.py:87-133, which normalizes on host, syncs the loss scalar and pulls two
+denormalized tensors to host every batch):
+
+    raw batch → mask/normalize (ops.normalize) → forward (model apply) →
+    weighted-L1+gradient loss → backward → clip+AdamW update →
+    denormalized metric reduction → 4 scalars
+
+The step is donated (params/opt-state buffers reused in place) and, when a
+mesh is given, compiled with the batch sharded over ``data`` and the state
+replicated — XLA inserts the gradient psum over ICI (this *is* the DP
+all-reduce; no NCCL-style code, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.normalize import (NormStats, compute_mask, denormalize_y,
+                             normalize_x, normalize_y)
+from ..ops.losses import compute_loss
+from .metrics import MetricSums, metric_sums_init, metric_sums_update
+from ..parallel.mesh import batch_sharding, replicated_sharding
+
+TrainState = Dict[str, Any]  # {"params", "stats", "opt_state"}
+
+
+def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                    norm_stats: NormStats, use_mask: bool = False,
+                    grad_weight: float = 0.005,
+                    mesh=None, donate: bool = True):
+    """Build the jitted step: (state, x_raw, y_raw) → (state, loss, sums).
+
+    ``apply_fn(variables, x_seq, state=None, train=...)`` → (y_seq, state,
+    new_bn_stats); raw NHWC batches (normalization fuses into the step).
+    """
+
+    def step(state: TrainState, x_raw, y_raw):
+        x = normalize_x(x_raw, norm_stats)
+        y = normalize_y(y_raw, norm_stats)
+        mask = compute_mask(x_raw, norm_stats)
+
+        def loss_fn(params):
+            y_pred, _, new_bn = apply_fn(
+                {"params": params, "stats": state["stats"]}, x, train=True)
+            loss = compute_loss(y_pred, y, mask, use_mask,
+                                grad_weight=grad_weight)
+            return loss, (new_bn, y_pred)
+
+        (loss, (new_bn, y_pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+
+        sums = metric_sums_update(
+            metric_sums_init(),
+            denormalize_y(y_pred.astype(jnp.float32), norm_stats),
+            denormalize_y(y, norm_stats),
+            mask, use_mask)
+        new_state = {"params": new_params, "stats": new_bn,
+                     "opt_state": new_opt}
+        return new_state, loss, sums
+
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        bat = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, bat, bat)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(apply_fn: Callable, norm_stats: NormStats,
+                   use_mask: bool = False, grad_weight: float = 0.005,
+                   mesh=None):
+    """(variables, x_raw, y_raw) → (loss, sums) — reference evaluate()
+    (main.py:151-205) as one jitted call."""
+
+    def step(variables, x_raw, y_raw):
+        x = normalize_x(x_raw, norm_stats)
+        y = normalize_y(y_raw, norm_stats)
+        mask = compute_mask(x_raw, norm_stats)
+        y_pred, _, _ = apply_fn(variables, x, train=False)
+        loss = compute_loss(y_pred, y, mask, use_mask,
+                            grad_weight=grad_weight)
+        sums = metric_sums_update(
+            metric_sums_init(),
+            denormalize_y(y_pred.astype(jnp.float32), norm_stats),
+            denormalize_y(y, norm_stats),
+            mask, use_mask)
+        return loss, sums
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        bat = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, bat, bat)
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)
