@@ -100,6 +100,9 @@ def tiny_model():
 
 def test_train_step_runs_and_learns(dataset, mesh, tiny_model):
     _, variables, apply_fn = tiny_model
+    # the step donates its state buffers — copy so the module-scoped
+    # fixture stays alive for later tests
+    variables = jax.tree_util.tree_map(jnp.copy, variables)
     tx = make_optimizer(1e-2)
     state = {"params": variables["params"], "stats": variables["stats"],
              "opt_state": tx.init(variables["params"])}
