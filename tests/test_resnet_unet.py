@@ -1,0 +1,175 @@
+"""ResNet18-UNet model family tests: torch parity of the basic block,
+forward shapes, streaming equivalence, frozen encoder, weight converter."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from unet_convlstm_tpu.core.dtypes import FP32_POLICY
+from unet_convlstm_tpu.models.resnet_unet import (
+    ResNetUNetConfig, resnet18_encoder_init, resnet18_encoder_apply,
+    resnet_unet_init, resnet_unet_apply, resnet_unet_init_state,
+    _basic_block_init, _basic_block, ENCODER_CHANNELS,
+)
+from unet_convlstm_tpu.utils.torch_weights import convert_resnet18_state_dict
+
+
+def nhwc(x):
+    return np.ascontiguousarray(np.moveaxis(x, 1, -1))
+
+
+def nchw(x):
+    return np.ascontiguousarray(np.moveaxis(x, -1, 1))
+
+
+def _torch_basic_block(params, in_ch, out_ch, stride):
+    """Independent torch BasicBlock built from the documented topology."""
+    conv1 = nn.Conv2d(in_ch, out_ch, 3, stride, 1, bias=False)
+    conv2 = nn.Conv2d(out_ch, out_ch, 3, 1, 1, bias=False)
+    bn1, bn2 = nn.BatchNorm2d(out_ch), nn.BatchNorm2d(out_ch)
+    conv1.weight.data = torch.from_numpy(
+        np.transpose(np.asarray(params["conv1"]["w"]), (3, 2, 0, 1)).copy())
+    conv2.weight.data = torch.from_numpy(
+        np.transpose(np.asarray(params["conv2"]["w"]), (3, 2, 0, 1)).copy())
+    down = None
+    if "down_conv" in params:
+        down = nn.Conv2d(in_ch, out_ch, 1, stride, bias=False)
+        down.weight.data = torch.from_numpy(
+            np.transpose(np.asarray(params["down_conv"]["w"]),
+                         (3, 2, 0, 1)).copy())
+        dbn = nn.BatchNorm2d(out_ch)
+        dbn.eval()
+
+    def forward(x):
+        y = torch.relu(bn1(conv1(x)))
+        y = bn2(conv2(y))
+        sc = dbn(down(x)) if down is not None else x
+        return torch.relu(y + sc)
+
+    for m in (bn1, bn2):
+        m.eval()
+    return forward
+
+
+@pytest.mark.parametrize("stride,in_ch,out_ch", [(1, 16, 16), (2, 16, 32)])
+def test_basic_block_matches_torch(rng, stride, in_ch, out_ch):
+    p, s = _basic_block_init(jax.random.PRNGKey(0), in_ch, out_ch, stride)
+    x = rng.standard_normal((2, in_ch, 16, 16), dtype=np.float32)
+    y, _ = _basic_block(p, s, jnp.asarray(nhwc(x)), stride, train=False,
+                        policy=FP32_POLICY)
+    with torch.no_grad():
+        yt = _torch_basic_block(p, in_ch, out_ch, stride)(torch.from_numpy(x))
+    np.testing.assert_allclose(nchw(np.asarray(y)), yt.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_feature_pyramid(rng):
+    p, s = resnet18_encoder_init(jax.random.PRNGKey(0), in_channels=2)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 2), dtype=np.float32))
+    feats, _ = resnet18_encoder_apply(p, s, x, train=False,
+                                      policy=FP32_POLICY)
+    shapes = [f.shape for f in feats]
+    assert shapes == [(1, 32, 32, 64), (1, 16, 16, 64), (1, 8, 8, 128),
+                      (1, 4, 4, 256), (1, 2, 2, 512)]
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ResNetUNetConfig(lstm_layers=1, freeze_encoder=True)
+    variables = resnet_unet_init(jax.random.PRNGKey(0), cfg)
+    return cfg, variables
+
+
+def test_resnet_unet_forward_shape(small_model, rng):
+    cfg, variables = small_model
+    x = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 2), dtype=np.float32))
+    y, state, new_stats = resnet_unet_apply(variables, x, cfg, train=False)
+    assert y.shape == (1, 2, 64, 64, 1)
+    assert "temporal" in state and "skip0" in state
+
+
+def test_resnet_unet_streaming_matches_full(small_model, rng):
+    """Carrying (h, c) frame-by-frame must equal the full-sequence pass —
+    the O(T) streaming rollout the reference lacks (test.py:305-316)."""
+    cfg, variables = small_model
+    x = jnp.asarray(rng.standard_normal((1, 4, 64, 64, 2), dtype=np.float32))
+    y_full, _, _ = resnet_unet_apply(variables, x, cfg, train=False)
+    state = resnet_unet_init_state(cfg, 1, 64, 64)
+    outs = []
+    for t in range(4):
+        y_t, state, _ = resnet_unet_apply(variables, x[:, t:t + 1], cfg,
+                                          state=state, train=False)
+        outs.append(y_t)
+    y_stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(y_full, np.float32),
+                               np.asarray(y_stream, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_frozen_encoder_gets_no_gradient(small_model, rng):
+    cfg, variables = small_model
+    x = jnp.asarray(rng.standard_normal((1, 1, 64, 64, 2), dtype=np.float32))
+
+    def loss_fn(params):
+        y, _, _ = resnet_unet_apply({"params": params,
+                                     "stats": variables["stats"]}, x, cfg,
+                                    train=True)
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    enc_norm = sum(float(jnp.sum(jnp.abs(g)))
+                   for g in jax.tree_util.tree_leaves(grads["encoder"]))
+    dec_norm = sum(float(jnp.sum(jnp.abs(g)))
+                   for g in jax.tree_util.tree_leaves(grads["decoder"]))
+    assert enc_norm == 0.0
+    assert dec_norm > 0.0
+
+
+def test_weight_converter_mapping():
+    """Synthetic torchvision-layout state_dict → our layout; kernels land
+    transposed, BN stats land in stats, first conv adapts 3→2 channels."""
+    sd = {"conv1.weight": torch.randn(64, 3, 7, 7),
+          "bn1.weight": torch.ones(64), "bn1.bias": torch.zeros(64),
+          "bn1.running_mean": torch.zeros(64),
+          "bn1.running_var": torch.ones(64)}
+    plan = [(1, 64, 64, False), (2, 64, 128, True), (3, 128, 256, True),
+            (4, 256, 512, True)]
+    for li, cin, cout, down in plan:
+        for bi in range(2):
+            pre = f"layer{li}.{bi}"
+            c1_in = cin if bi == 0 else cout
+            sd[f"{pre}.conv1.weight"] = torch.randn(cout, c1_in, 3, 3)
+            sd[f"{pre}.conv2.weight"] = torch.randn(cout, cout, 3, 3)
+            for bn in ("bn1", "bn2"):
+                sd[f"{pre}.{bn}.weight"] = torch.ones(cout)
+                sd[f"{pre}.{bn}.bias"] = torch.zeros(cout)
+                sd[f"{pre}.{bn}.running_mean"] = torch.zeros(cout)
+                sd[f"{pre}.{bn}.running_var"] = torch.ones(cout)
+            if down and bi == 0:
+                sd[f"{pre}.downsample.0.weight"] = torch.randn(cout, cin, 1, 1)
+                sd[f"{pre}.downsample.1.weight"] = torch.ones(cout)
+                sd[f"{pre}.downsample.1.bias"] = torch.zeros(cout)
+                sd[f"{pre}.downsample.1.running_mean"] = torch.zeros(cout)
+                sd[f"{pre}.downsample.1.running_var"] = torch.ones(cout)
+
+    conv = convert_resnet18_state_dict(sd, in_channels=2)
+    assert conv["params"]["conv1"]["w"].shape == (7, 7, 2, 64)
+    np.testing.assert_allclose(
+        conv["params"]["conv1"]["w"][..., 0, :],
+        np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))[..., 0, :]
+        * 1.5, rtol=1e-6)
+    assert conv["params"]["layer2_0"]["down_conv"]["w"].shape == (1, 1, 64, 128)
+    assert "down_conv" not in conv["params"]["layer1_0"]
+
+    # converted weights drop into the encoder and run
+    ref_p, ref_s = resnet18_encoder_init(jax.random.PRNGKey(0), 2)
+    jax.tree_util.tree_map(lambda a, b: None, ref_p, conv["params"])  # structure match
+    jax.tree_util.tree_map(lambda a, b: None, ref_s, conv["stats"])
+    x = jnp.zeros((1, 64, 64, 2))
+    feats, _ = resnet18_encoder_apply(conv["params"], conv["stats"], x,
+                                      train=False)
+    assert feats[-1].shape == (1, 2, 2, 512)

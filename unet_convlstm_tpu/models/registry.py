@@ -50,10 +50,16 @@ def _build_resnet18(cfg_dict: Dict[str, Any]):
         lstm_layers=cfg_dict.get("lstm_layers", 2),
         freeze_encoder=cfg_dict.get("freeze_encoder", True),
         in_channels=cfg_dict.get("in_channels", 2),
+        encoder_bn_train=cfg_dict.get("encoder_bn_train", False),
     )
+    pretrained = None
+    if cfg_dict.get("pretrained_path"):
+        from ..utils.torch_weights import load_torch_resnet18
+        pretrained = load_torch_resnet18(cfg_dict["pretrained_path"],
+                                         cfg.in_channels)
 
     def init(key):
-        return resnet_unet_init(key, cfg)
+        return resnet_unet_init(key, cfg, pretrained_params=pretrained)
 
     def apply(variables, x_seq, state=None, train=False, **kw):
         return resnet_unet_apply(variables, x_seq, cfg, state=state,
