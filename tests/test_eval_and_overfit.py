@@ -1,0 +1,108 @@
+"""Evaluation suite, rollout equivalence, image metrics, overfit harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+from unet_convlstm_tpu.models.registry import build_model
+from unet_convlstm_tpu.eval import (
+    evaluate_model, rollout_streaming, rollout_prefix_rerun, psnr, ssim,
+)
+from unet_convlstm_tpu.eval.metrics import balanced_scatter_sample
+from unet_convlstm_tpu.ops.normalize import normalize_x
+from unet_convlstm_tpu.train.overfit import run_overfit_test
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "mm.npz"
+    save_moving_mnist_npz(str(path), seq_len=3, num_samples=10,
+                          image_size=32, num_digits=1, seed=0, as_xy=True)
+    return NPZSequenceDataset(str(path))
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg_dict = {"type": "custom", "base_ch": 4, "use_skip_lstm": False,
+                "lstm_layers": 1}
+    cfg, init_fn, apply_fn, init_state = build_model(cfg_dict)
+    variables = init_fn(jax.random.PRNGKey(0))
+    return cfg, variables, apply_fn, init_state
+
+
+def test_evaluate_model_report(dataset, tiny_model):
+    _, variables, apply_fn, _ = tiny_model
+    report = evaluate_model(apply_fn, variables, dataset,
+                            indices=np.arange(6), batch_size=3,
+                            use_mask=False)
+    assert report.mae > 0 and report.rmse >= report.mae * 0.99
+    assert report.n_pixels == 6 * dataset.T * 32 * 32
+    assert report.mae_over_time.shape == (dataset.T,)
+    assert np.all(report.mae_over_time > 0)
+    # histogram mass ≈ pixel count (values inside range)
+    assert report.gt_hist.sum() <= report.n_pixels + 1e-6
+    assert report.err_hist.sum() > 0
+    d = report.to_dict()
+    assert isinstance(d["mae_over_time"], list)
+
+
+def test_balanced_scatter_caps_bins():
+    rng = np.random.default_rng(0)
+    gt = np.concatenate([np.zeros(5000), np.full(50, 2.0)])
+    pred = rng.standard_normal(gt.shape)
+    s_gt, s_pred = balanced_scatter_sample(gt, pred, max_per_bin=1000)
+    assert (s_gt == 0).sum() == 1000      # dense bin capped
+    assert (s_gt == 2.0).sum() == 50      # sparse bin kept whole
+    assert len(s_gt) == len(s_pred)
+
+
+def test_rollout_streaming_equals_full_and_prefix(dataset, tiny_model):
+    cfg, variables, apply_fn, init_state = tiny_model
+    x_raw, _ = dataset.get_batch_raw(np.arange(2))
+    x = normalize_x(jnp.asarray(x_raw), dataset.stats)
+
+    y_full, _, _ = apply_fn(variables, x, train=False)
+    y_stream, _ = rollout_streaming(apply_fn, variables, x, init_state)
+    np.testing.assert_allclose(np.asarray(y_full, np.float32),
+                               np.asarray(y_stream, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    # prefix re-runs (the reference's O(T²) mode) give the same last frames
+    # because the model is causal
+    prefix_outs = rollout_prefix_rerun(apply_fn, variables, x)
+    for t, y_t in enumerate(prefix_outs):
+        np.testing.assert_allclose(np.asarray(y_full[:, t], np.float32),
+                                   np.asarray(y_t, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_psnr_ssim_sanity(rng):
+    x = rng.random((2, 32, 32, 1), dtype=np.float32)
+    assert float(psnr(jnp.asarray(x), jnp.asarray(x))) > 100
+    assert float(ssim(jnp.asarray(x), jnp.asarray(x))) == pytest.approx(1.0, abs=1e-5)
+    noisy = x + 0.1 * rng.standard_normal(x.shape).astype(np.float32)
+    p = float(psnr(jnp.asarray(x), jnp.asarray(noisy)))
+    s = float(ssim(jnp.asarray(x), jnp.asarray(noisy)))
+    assert 15 < p < 30
+    assert 0 < s < 1
+
+
+def test_overfit_harness_converges(dataset, tmp_path):
+    """Scaled-down reference gate (overfit_check.py:91-117): a tiny model on
+    4 sequences must memorize — loss falls well below its starting point and
+    the early-exit + checkpoint logic runs."""
+    res = run_overfit_test(
+        dataset, model_cfg={"type": "custom", "base_ch": 4,
+                            "use_skip_lstm": False},
+        num_samples=4, max_iters=400, target_loss=2e-3, lr=3e-3,
+        chunk=50, seed=0, checkpoint_dir=str(tmp_path), verbose=False)
+    assert res["iters"] >= 50
+    assert res["final_loss"] < 0.05
+    assert len(res["indices"]) == 4
+    import os
+    tag = "overfit" if res["converged"] else "overfit_failed"
+    assert os.path.isdir(tmp_path / f"{tag}_custom")

@@ -1,0 +1,179 @@
+"""Offline evaluation suite — the reference's get_metrics.py computations.
+
+Parity targets (reference train/get_metrics.py):
+
+* Global denormalized MAE / RMSE / mean-error (bias) / error std over the
+  validation split, masked or unmasked (:186-198).
+* MAE as a function of time step (:280-314).
+* GT / prediction / error histograms (:316-370).
+* "Balanced scatter": ground truth digitized into 0.05 m/s bins over
+  [-8, 8], at most 1000 points kept per bin (:55-58, 205-240).
+
+TPU re-design: the reference runs batch-size-1 inference and keeps EVERY
+pixel in host lists (:117-173). Here a jitted batch step reduces sums,
+per-step sums and histogram counts on device; only the balanced-scatter
+sampling pulls (a bounded random subset of) pixel values to host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.npz_dataset import NPZSequenceDataset
+from ..data.pipeline import SequenceLoader
+from ..ops.normalize import compute_mask, denormalize_y, normalize_x, normalize_y
+
+
+@dataclasses.dataclass
+class EvalReport:
+    mae: float
+    rmse: float
+    bias: float
+    err_std: float
+    n_pixels: float
+    mae_over_time: np.ndarray          # [T]
+    hist_bins: np.ndarray              # bin edges for gt/pred histograms
+    gt_hist: np.ndarray
+    pred_hist: np.ndarray
+    err_bins: np.ndarray
+    err_hist: np.ndarray
+    scatter_gt: np.ndarray             # balanced scatter sample
+    scatter_pred: np.ndarray
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in d.items()}
+
+
+def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
+                        hist_range=(-10.0, 10.0), hist_bins: int = 100,
+                        err_range=(-5.0, 5.0)):
+    lo, hi = hist_range
+    elo, ehi = err_range
+
+    @jax.jit
+    def batch_fn(variables, x_raw, y_raw):
+        x = normalize_x(x_raw, stats)
+        y = normalize_y(y_raw, stats)
+        mask = compute_mask(x_raw, stats)
+        y_pred, _, _ = apply_fn(variables, x, train=False)
+        pred_d = denormalize_y(y_pred.astype(jnp.float32), stats)
+        gt_d = denormalize_y(y, stats)
+        diff = pred_d - gt_d
+        if use_mask:
+            m = jnp.broadcast_to(mask, diff.shape).astype(jnp.float32)
+        else:
+            m = jnp.ones_like(diff)
+        # global sums
+        n = jnp.sum(m)
+        sums = jnp.stack([n, jnp.sum(jnp.abs(diff) * m),
+                          jnp.sum(diff * diff * m), jnp.sum(diff * m)])
+        # per-time-step sums over [B, T, H, W, C]
+        axes = (0, 2, 3, 4)
+        t_n = jnp.sum(m, axis=axes)
+        t_abs = jnp.sum(jnp.abs(diff) * m, axis=axes)
+        # histograms (weighted by the mask so invalid pixels drop out)
+        gt_hist = jnp.histogram(gt_d, bins=hist_bins, range=(lo, hi),
+                                weights=m)[0]
+        pred_hist = jnp.histogram(pred_d, bins=hist_bins, range=(lo, hi),
+                                  weights=m)[0]
+        err_hist = jnp.histogram(diff, bins=hist_bins, range=(elo, ehi),
+                                 weights=m)[0]
+        return sums, t_n, t_abs, gt_hist, pred_hist, err_hist, pred_d, gt_d, m
+
+    return batch_fn
+
+
+def balanced_scatter_sample(gt: np.ndarray, pred: np.ndarray,
+                            bin_width: float = 0.05,
+                            value_range=(-8.0, 8.0),
+                            max_per_bin: int = 1000,
+                            seed: int = 0):
+    """Reference get_metrics.py:55-58,205-240: digitize GT into fixed bins,
+    keep at most ``max_per_bin`` (gt, pred) pairs per bin."""
+    lo, hi = value_range
+    edges = np.arange(lo, hi + bin_width, bin_width)
+    idx = np.digitize(gt, edges)
+    rng = np.random.default_rng(seed)
+    keep_gt, keep_pred = [], []
+    for b in np.unique(idx):
+        sel = np.flatnonzero(idx == b)
+        if len(sel) > max_per_bin:
+            sel = rng.choice(sel, max_per_bin, replace=False)
+        keep_gt.append(gt[sel])
+        keep_pred.append(pred[sel])
+    if not keep_gt:
+        return np.empty(0), np.empty(0)
+    return np.concatenate(keep_gt), np.concatenate(keep_pred)
+
+
+def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
+                   indices: Optional[np.ndarray] = None,
+                   batch_size: int = 8, use_mask: bool = True,
+                   hist_bins: int = 100, hist_range=(-10.0, 10.0),
+                   err_range=(-5.0, 5.0),
+                   scatter_budget_per_batch: int = 65536,
+                   seed: int = 0) -> EvalReport:
+    """Full evaluation pass over ``indices`` (default: the val split replayed
+    exactly as during training — reference get_metrics.py:100-106)."""
+    if indices is None:
+        _, indices = dataset.train_val_split()
+    stats = dataset.stats
+    batch_fn = _make_eval_batch_fn(apply_fn, stats, use_mask,
+                                   hist_range, hist_bins, err_range)
+    loader = SequenceLoader(dataset, indices, batch_size, shuffle=False)
+
+    T = dataset.T
+    sums = np.zeros(4)
+    t_n = np.zeros(T)
+    t_abs = np.zeros(T)
+    gt_h = np.zeros(hist_bins)
+    pr_h = np.zeros(hist_bins)
+    er_h = np.zeros(hist_bins)
+    sc_gt, sc_pred = [], []
+    rng = np.random.default_rng(seed)
+
+    for x_raw, y_raw in loader:
+        out = batch_fn(variables, jnp.asarray(x_raw), jnp.asarray(y_raw))
+        s, tn, ta, gh, ph, eh, pred_d, gt_d, m = jax.device_get(out)
+        sums += s
+        t_n += tn
+        t_abs += ta
+        gt_h += gh
+        pr_h += ph
+        er_h += eh
+        # bounded host pull for the balanced scatter
+        valid = np.flatnonzero(m.ravel() > 0)
+        if len(valid):
+            take = min(len(valid), scatter_budget_per_batch)
+            sel = (valid if take == len(valid)
+                   else rng.choice(valid, take, replace=False))
+            sc_gt.append(gt_d.ravel()[sel])
+            sc_pred.append(pred_d.ravel()[sel])
+
+    n = max(sums[0], 1e-12)
+    mae = sums[1] / n
+    mse = sums[2] / n
+    bias = sums[3] / n
+    err_std = max(mse - bias * bias, 0.0) ** 0.5
+
+    gt_all = np.concatenate(sc_gt) if sc_gt else np.empty(0)
+    pred_all = np.concatenate(sc_pred) if sc_pred else np.empty(0)
+    s_gt, s_pred = balanced_scatter_sample(gt_all, pred_all, seed=seed)
+
+    lo, hi = hist_range
+    elo, ehi = err_range
+    return EvalReport(
+        mae=float(mae), rmse=float(mse ** 0.5), bias=float(bias),
+        err_std=float(err_std), n_pixels=float(sums[0]),
+        mae_over_time=t_abs / np.maximum(t_n, 1e-12),
+        hist_bins=np.linspace(lo, hi, hist_bins + 1),
+        gt_hist=gt_h, pred_hist=pr_h,
+        err_bins=np.linspace(elo, ehi, hist_bins + 1), err_hist=er_h,
+        scatter_gt=s_gt, scatter_pred=s_pred)
