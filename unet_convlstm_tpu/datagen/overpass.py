@@ -1,0 +1,99 @@
+"""Satellite overpass CSV parsing — the camera/sun geometry contract.
+
+Schema (reference data/Dor_2satellites_overpass.csv:1; 12 UTC times × N
+satellites per file): columns ``utc time``, ``sun zenith [deg]``,
+``sun azimuth [deg]``, ``sat zenith [deg]``, ``sat azimuth [deg]``,
+``scattering angle [deg]``, ``sat ENU coordinates [km]`` (a "[x, y, z]"
+string), ``lookat ENU coordinates [km]``.
+
+Two consumers with two conventions (both preserved):
+
+* Renderer (reference mitsuba3/render.py:64-83, 102-117): camera origin is
+  (ENU[1], ENU[0], ENU[2]) km — x/y swapped — target [0, 0, z_center·2.5],
+  up [1, 0, 0].
+* Velocity-map caster (reference preprocessing/build_WVU_maps.py:11-47):
+  camera position is (-ENU[1], ENU[0], ENU[2])·1000 m, look-at forced to
+  [0, 0, 1500] m.
+
+Implemented with the csv stdlib (no pandas dependency on the hot path).
+"""
+
+from __future__ import annotations
+
+import ast
+import csv
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class OverpassView:
+    utc_time: float
+    sun_zenith: float
+    sun_azimuth: float
+    sat_zenith: float
+    sat_azimuth: float
+    scattering_angle: float
+    sat_enu_km: np.ndarray      # raw [x, y, z] from the CSV
+    lookat_enu_km: np.ndarray
+
+    def caster_camera_m(self, lookat_m=(0.0, 0.0, 1500.0)
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """ENU→world transform of the velocity-map pipeline
+        (build_WVU_maps.py:29-41)."""
+        e = self.sat_enu_km
+        pos = np.array([-e[1], e[0], e[2]], np.float64) * 1000.0
+        return pos, np.asarray(lookat_m, np.float64)
+
+    def renderer_camera_km(self, target_z_km: float
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Origin/target/up of the radiance renderer (render.py:108-117)."""
+        e = self.sat_enu_km
+        origin = np.array([e[1], e[0], e[2]], np.float64)
+        target = np.array([0.0, 0.0, target_z_km], np.float64)
+        up = np.array([1.0, 0.0, 0.0], np.float64)
+        return origin, target, up
+
+
+def read_overpass_csv(path: str) -> List[OverpassView]:
+    views: List[OverpassView] = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            views.append(OverpassView(
+                utc_time=float(row["utc time"]),
+                sun_zenith=float(row["sun zenith [deg]"]),
+                sun_azimuth=float(row["sun azimuth [deg]"]),
+                sat_zenith=float(row["sat zenith [deg]"]),
+                sat_azimuth=float(row["sat azimuth [deg]"]),
+                scattering_angle=float(row["scattering angle [deg]"]),
+                sat_enu_km=np.asarray(
+                    ast.literal_eval(row["sat ENU coordinates [km]"]),
+                    np.float64),
+                lookat_enu_km=np.asarray(
+                    ast.literal_eval(row["lookat ENU coordinates [km]"]),
+                    np.float64),
+            ))
+    return views
+
+
+def camera_schedule(views: List[OverpassView]
+                    ) -> Tuple[List[float], Dict[float, List[OverpassView]]]:
+    """Group views by UTC time (sorted) — build_WVU_maps.py:18-47."""
+    schedule: Dict[float, List[OverpassView]] = {}
+    for v in views:
+        schedule.setdefault(v.utc_time, []).append(v)
+    return sorted(schedule), schedule
+
+
+def sun_direction(zenith_deg: float, azimuth_deg: float) -> np.ndarray:
+    """Spherical → cartesian propagation direction of sunlight, exactly the
+    reference's formula (render.py:204-211):
+    (-sin·sin, -sin·cos, +cos); the CSV's zenith angles exceed 90°, so the
+    z component comes out negative (downward travel)."""
+    az = np.deg2rad(azimuth_deg)
+    ze = np.deg2rad(zenith_deg)
+    return np.array([-np.sin(ze) * np.sin(az),
+                     -np.sin(ze) * np.cos(az),
+                     np.cos(ze)], np.float64)
