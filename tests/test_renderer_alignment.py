@@ -1,0 +1,151 @@
+"""Volumetric renderer + homography alignment tests."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unet_convlstm_tpu.datagen.renderer import (
+    VolumeScene, hg_phase, make_camera_rays, sun_transmittance,
+    render_radiance, make_synthetic_debug_volume,
+)
+from unet_convlstm_tpu.datagen.alignment import (
+    get_camera_matrices, warp_to_virtual_camera, _homography_from_points,
+)
+
+
+def test_hg_phase_normalizes():
+    # ∫ p dΩ = 2π ∫ p(cosθ) dcosθ = 1
+    mu = np.linspace(-1, 1, 20001)
+    for g in (0.0, 0.5, 0.85):
+        p = np.asarray(hg_phase(jnp.asarray(mu), g))
+        integral = 2 * np.pi * np.trapezoid(p, mu)
+        assert integral == pytest.approx(1.0, rel=1e-3)
+
+
+def test_sun_transmittance_uniform_slab():
+    """Uniform β slab under vertical sun: analytic Beer-Lambert."""
+    beta_val, vox = 0.01, 20.0
+    beta = np.full((10, 4, 4), beta_val, np.float32)
+    scene = VolumeScene(jnp.asarray(beta), vox)
+    t_sun = np.asarray(sun_transmittance(scene, (0.0, 0.0, -1.0), step=vox))
+    # voxel at layer z (center) sees (nz - z - 0.5)*vox of medium above
+    for z in (0, 5, 9):
+        depth = (10 - z - 0.5) * vox
+        assert t_sun[z, 2, 2] == pytest.approx(
+            np.exp(-beta_val * depth), rel=0.05)
+
+
+def test_render_empty_volume_is_black():
+    scene = VolumeScene(jnp.zeros((8, 8, 8), jnp.float32), 20.0)
+    img = np.asarray(render_radiance(scene, (0, 0, 5000.0), (0, 0, 0),
+                                     resolution=(16, 16), fov_deg=4.0))
+    np.testing.assert_array_equal(img, 0.0)
+
+
+def test_render_slab_structure():
+    """A centered cloud block renders brighter in the middle; nonzero only
+    where rays cross the medium."""
+    beta = np.zeros((16, 32, 32), np.float32)
+    beta[6:12, 10:22, 10:22] = 0.05
+    scene = VolumeScene(jnp.asarray(beta), 20.0)
+    img = np.asarray(render_radiance(
+        scene, (0, 0, 20000.0), (0, 0, 0), fov_deg=2.2,
+        resolution=(32, 32), sun_dir=(0.2, 0.1, -0.97), g=0.85))
+    assert img.max() > 0
+    center = img[12:20, 12:20].mean()
+    corner = img[:4, :4].mean()
+    assert center > 10 * max(corner, 1e-9)
+    assert np.isfinite(img).all()
+
+
+def test_debug_volume_layout():
+    vol = make_synthetic_debug_volume(width=64, depth=100)
+    assert vol.shape == (100, 64, 64)  # [Z, Y, X]
+    assert (vol > 0).mean() > 0.01
+    assert vol.max() == pytest.approx(0.2)   # the cube density
+    # border frame present on the x/y faces
+    assert vol[50, 0, 10] == pytest.approx(0.005)
+
+
+def test_homography_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    src = np.array([[0, 0], [64, 0], [64, 64], [0, 64]], np.float32)
+    dst = (src + rng.uniform(-8, 8, src.shape).astype(np.float32))
+    H_ours = _homography_from_points(src.astype(np.float64),
+                                     dst.astype(np.float64))
+    H_cv = cv2.getPerspectiveTransform(src, dst)
+    np.testing.assert_allclose(H_ours, H_cv, rtol=1e-5, atol=1e-6)
+
+
+def test_warp_identity():
+    """Source camera == virtual camera → warp is (near-)identity."""
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64)).astype(np.float32)
+    K = np.array([[800.0, 0, 32.0], [0, 800.0, 32.0], [0, 0, 1.0]])
+    pose = np.array([0.0, 0.0, 600.0])
+    out = warp_to_virtual_camera(img, pose, pose, K, 64, plane_height=0.0)
+    np.testing.assert_allclose(out[8:-8, 8:-8], img[8:-8, 8:-8],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_warp_aligns_two_views():
+    """Two cameras viewing a plane pattern: after warping both into the
+    virtual camera, the overlap should agree."""
+    cv2 = pytest.importorskip("cv2")
+    # synthetic plane image rendered from two poses via cv2 (ground truth
+    # generator only), then aligned with our warp
+    base = np.zeros((64, 64), np.float32)
+    base[24:40, 24:40] = 1.0
+    K = np.array([[400.0, 0, 32.0], [0, 400.0, 32.0], [0, 0, 1.0]])
+    virt = np.array([0.0, 0.0, 500.0])
+    src_pose = np.array([60.0, -40.0, 500.0])
+    # make the "source image": what src camera sees of the plane = warp of
+    # the virtual view by the inverse mapping
+    from unet_convlstm_tpu.datagen.alignment import get_camera_matrices
+    # generate source view by projecting base (virtual view of plane) through
+    # the same homography machinery in reverse
+    out_src = warp_to_virtual_camera(base, virt, src_pose, K, 64,
+                                     plane_height=0.0)
+    # now align back into the virtual camera
+    back = warp_to_virtual_camera(out_src, src_pose, virt, K, 64,
+                                  plane_height=0.0)
+    inner = (slice(20, 44), slice(20, 44))
+    assert np.corrcoef(back[inner].ravel(),
+                       base[inner].ravel())[0, 1] > 0.95
+
+
+def test_render_batch_driver(tmp_path):
+    from unet_convlstm_tpu.datagen.render_batch import render_dataset
+    in_root = tmp_path / "patches"
+    (in_root / "0000000001").mkdir(parents=True)
+    beta = np.zeros((10, 16, 16), np.float32)
+    beta[4:8, 4:12, 4:12] = 0.05
+    patch = {"beta_ext": beta, "U": beta, "V": beta, "W": beta}
+    with open(in_root / "0000000001" / "sample_000.pkl", "wb") as f:
+        pickle.dump(patch, f)
+    csv_text = (
+        "utc time,sun zenith [deg],sun azimuth [deg],sat zenith [deg],"
+        "sat azimuth [deg],scattering angle [deg],"
+        "sat ENU coordinates [km],lookat ENU coordinates [km]\n"
+        '0,145.0,32.6,53.8,168.3,131.5,"[-747.0, 154.9, 558.6]","[0, 0, 0]"\n'
+        '0,145.0,32.6,46.8,168.3,164.3,"[-598.1, 124.0, 573.4]","[0, 0, 0]"\n')
+    csv_path = tmp_path / "overpass.csv"
+    csv_path.write_text(csv_text)
+    n = render_dataset(str(in_root), str(tmp_path / "renders"),
+                       str(csv_path), resolution=(16, 16), fov_deg=0.01,
+                       verbose=False)
+    assert n == 2
+    out_dir = tmp_path / "renders" / "0000000001"
+    files = sorted(os.listdir(out_dir))
+    assert files == ["sample_000_time_0_view_0.pkl",
+                     "sample_000_time_0_view_1.pkl"]
+    with open(out_dir / files[0], "rb") as f:
+        d = pickle.load(f)
+    assert d["render"].shape == (16, 16)
+    assert d["timestamp"] == 0 and d["satellite_idx"] == 0
+    assert np.isfinite(d["render"]).all()
