@@ -1,0 +1,124 @@
+"""Smoke tests for the visualization layer (headless Agg/cv2)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from unet_convlstm_tpu.eval.metrics import EvalReport
+from unet_convlstm_tpu.viz import (
+    save_metrics_figures, divergence_check, dataset_stats, spot_check_maps,
+    volume_check,
+)
+from unet_convlstm_tpu.viz.rollout_video import create_rollout_video
+from unet_convlstm_tpu.viz.sequences_video import create_mask_tuning_video
+from unet_convlstm_tpu.viz.viewers import (
+    moving_mnist_video, show_sample_panel, describe_pkl,
+)
+
+
+@pytest.fixture
+def report(rng):
+    T, B = 5, 100
+    return EvalReport(
+        mae=0.5, rmse=0.8, bias=0.02, err_std=0.79, n_pixels=1e6,
+        mae_over_time=rng.random(T),
+        hist_bins=np.linspace(-10, 10, B + 1),
+        gt_hist=rng.random(B) * 1e4, pred_hist=rng.random(B) * 1e4,
+        err_bins=np.linspace(-5, 5, B + 1), err_hist=rng.random(B) * 1e4,
+        scatter_gt=rng.standard_normal(500),
+        scatter_pred=rng.standard_normal(500))
+
+
+def test_metrics_figures(report, tmp_path):
+    written = save_metrics_figures(report, str(tmp_path))
+    assert "summary_grid.png" in written
+    for path in written.values():
+        assert os.path.getsize(path) > 1000
+
+
+def test_divergence_check(tmp_path, rng):
+    Z, Y, X = 10, 16, 16
+    u = rng.standard_normal((Z, Y, X))
+    v = rng.standard_normal((Z, Y, X))
+    w = rng.standard_normal((Z, Y, X))
+    beta = np.zeros((Z, Y, X))
+    beta[4:7, 6:10, 6:10] = 0.1
+    stats = divergence_check(u, v, w, beta, 20.0, str(tmp_path), "t")
+    assert stats["mean_abs_divergence"] > 0
+    assert os.path.exists(tmp_path / "t_divergence_maps.png")
+    assert os.path.exists(tmp_path / "t_divergence_hist.png")
+    # incompressible (constant) field → zero divergence
+    ones = np.ones((Z, Y, X))
+    s2 = divergence_check(ones, ones, ones, beta, 20.0)
+    assert s2["mean_abs_divergence"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_spot_check_and_volume_check(tmp_path, rng):
+    maps = {f"{c}_map": rng.standard_normal((16, 16)).astype(np.float32)
+            for c in "uvw"}
+    maps["w_map"][0, 0] = np.nan
+    mpath = tmp_path / "m.pkl"
+    with open(mpath, "wb") as f:
+        pickle.dump(maps, f)
+    rpath = tmp_path / "r.pkl"
+    with open(rpath, "wb") as f:
+        pickle.dump({"render": rng.random((16, 16)).astype(np.float32)}, f)
+    stats = spot_check_maps(str(mpath), str(rpath), str(tmp_path / "out"))
+    assert stats["w_map"]["nan_frac"] > 0
+    assert os.path.exists(tmp_path / "out" / "render.png")
+
+    beta = np.zeros((10, 12, 14), np.float32)
+    beta[3:6, 4:8, 5:9] = 0.1
+    out = volume_check(beta, str(tmp_path / "vol.png"))
+    assert os.path.getsize(out) > 1000
+
+
+def test_dataset_stats(tmp_path, rng):
+    Y = rng.standard_normal((4, 3, 1, 8, 8)).astype(np.float32)
+    Y[Y < 0] = 0
+    path = str(tmp_path / "d.npz")
+    np.savez(path, X=Y, Y=Y)
+    stats = dataset_stats(path, "Y", str(tmp_path))
+    assert stats["max"] > 0 and stats["min"] == 0.0
+    assert os.path.exists(tmp_path / "Y_hist.png")
+
+
+def test_rollout_video(tmp_path, rng):
+    T, H = 3, 24
+    x = rng.random((T, 2, H, H)).astype(np.float32)
+    gt = rng.standard_normal((T, H, H)).astype(np.float32)
+    pred = gt + 0.1
+    mask = np.ones((T, H, H), np.float32)
+    out = str(tmp_path / "roll.mp4")
+    stats = create_rollout_video(x, gt, pred, mask, out, fps=2)
+    assert os.path.getsize(out) > 5000
+    assert len(stats["mae"]) == T
+    assert all(abs(m - 0.1) < 1e-5 for m in stats["mae"])
+
+
+def test_mask_tuning_video(tmp_path, rng):
+    x = (rng.random((3, 2, 24, 24)) * 3).astype(np.float32)
+    out = create_mask_tuning_video(x, str(tmp_path / "mask.mp4"),
+                                   threshold=1.1)
+    assert os.path.getsize(out) > 5000
+
+
+def test_viewers(tmp_path, rng):
+    data = rng.random((2, 3, 2, 16, 16)).astype(np.float32)
+    np.savez(tmp_path / "mm.npz", data=data)
+    out = moving_mnist_video(str(tmp_path / "mm.npz"),
+                             str(tmp_path / "mm.mp4"), sample_idx=1)
+    assert os.path.getsize(out) > 5000
+
+    np.savez(tmp_path / "xy.npz", X=data, Y=data[:, :, :1])
+    panel = show_sample_panel(str(tmp_path / "xy.npz"),
+                              str(tmp_path / "panel.png"))
+    assert os.path.getsize(panel) > 1000
+
+    with open(tmp_path / "p.pkl", "wb") as f:
+        pickle.dump({"render": data[0, 0, 0], "timestamp": 3}, f)
+    desc = describe_pkl(str(tmp_path / "p.pkl"))
+    assert desc["render"]["shape"] == (16, 16)
+    assert "timestamp" in desc
