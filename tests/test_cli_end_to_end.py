@@ -1,0 +1,71 @@
+"""End-to-end CLI integration: gen-mnist → train → evaluate → rollout,
+entirely through the command surface (the reference's main.py →
+get_metrics.py → test.py workflow)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unet_convlstm_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+@pytest.fixture(scope="module")
+def npz_path(workdir):
+    path = str(workdir / "mm.npz")
+    main(["gen-mnist", "--out", path, "--seq-len", "3",
+          "--num-samples", "12", "--image-size", "32",
+          "--num-digits", "1", "--seed", "0", "--xy"])
+    return path
+
+
+def test_gen_mnist_layout(npz_path):
+    data = np.load(npz_path)
+    assert data["X"].shape == (12, 3, 2, 32, 32)
+    assert data["Y"].shape == (12, 3, 1, 32, 32)
+
+
+@pytest.fixture(scope="module")
+def trained(workdir, npz_path):
+    ckpt_dir = str(workdir / "ckpts")
+    cfg = {"npz_path": npz_path, "batch_size": 8, "epochs": 1,
+           "lr": 1e-3, "checkpoint_dir": ckpt_dir,
+           "model": {"type": "custom", "base_ch": 4,
+                     "use_skip_lstm": False, "lstm_layers": 1}}
+    cfg_path = str(workdir / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    main(["train", "--config", cfg_path])
+    return ckpt_dir
+
+
+def test_train_writes_checkpoints(trained):
+    names = os.listdir(trained)
+    assert "custom_best" in names and "custom_last" in names
+    with open(os.path.join(trained, "custom_best", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["config"]["model"]["base_ch"] == 4
+    assert "norm_stats" in meta and "scheduler" in meta
+
+
+def test_evaluate_cli(trained, npz_path, workdir):
+    out_dir = str(workdir / "eval")
+    main(["evaluate", "--checkpoint", os.path.join(trained, "custom_best"),
+          "--npz", npz_path, "--out-dir", out_dir, "--batch-size", "4"])
+    with open(os.path.join(out_dir, "report.json")) as f:
+        report = json.load(f)
+    assert report["mae"] > 0
+    assert os.path.exists(os.path.join(out_dir, "metrics_summary_grid.png"))
+
+
+def test_rollout_cli(trained, npz_path, workdir):
+    out = str(workdir / "rollout.mp4")
+    main(["rollout", "--checkpoint", os.path.join(trained, "custom_best"),
+          "--npz", npz_path, "--sequence-idx", "1", "--out", out])
+    assert os.path.getsize(out) > 5000

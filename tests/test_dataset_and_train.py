@@ -127,10 +127,21 @@ def test_eval_step_and_metrics(dataset, mesh, tiny_model):
     eval_step = make_eval_step(apply_fn, dataset.stats, use_mask=False,
                                mesh=mesh)
     x_raw, y_raw = dataset.get_batch_raw(np.arange(8))
-    loss, sums = eval_step(variables, x_raw, y_raw)
+    loss, sums = eval_step(variables, x_raw, y_raw, 8)
     assert np.isfinite(float(loss))
     m = metric_sums_finalize(jax.device_get(sums))
     assert m["mae"] > 0
+    # padded rows carry zero weight: zero out the last row and mark 7 valid
+    x_pad = np.concatenate([x_raw[:7], np.zeros_like(x_raw[:1])])
+    y_pad = np.concatenate([y_raw[:7], np.zeros_like(y_raw[:1])])
+    loss7, sums7 = eval_step(variables, x_pad, y_pad, 7)
+    eval7 = make_eval_step(apply_fn, dataset.stats, use_mask=False)
+    loss_ref, sums_ref = eval7(variables, x_raw[:7], y_raw[:7], 7)
+    assert float(loss7) == pytest.approx(float(loss_ref), rel=2e-2)
+    m7 = metric_sums_finalize(jax.device_get(sums7))
+    mref = metric_sums_finalize(jax.device_get(sums_ref))
+    assert m7["mae"] == pytest.approx(mref["mae"], rel=2e-2)
+    assert m7["rmse"] == pytest.approx(mref["rmse"], rel=2e-2)
 
 
 def test_plateau_scheduler_torch_semantics():

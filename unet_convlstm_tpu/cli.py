@@ -1,0 +1,326 @@
+"""Command-line interface — the reference's entry-point surface, unified.
+
+Reference entry points → subcommands:
+
+* ``train``          — main.py (config-driven training)
+* ``evaluate``       — train/get_metrics.py (checkpoint → metric suite +
+                       figures; replays the training val split)
+* ``rollout``        — test.py (one sequence → streaming rollout + dashboard
+                       video + per-frame stats)
+* ``overfit``        — train/overfit_check.py (16-sequence memorization gate)
+* ``gen-mnist``      — digits/build_moving_mnist.py
+* ``gen-patches``    — preprocessing/preprocessing.py (stage A)
+* ``gen-renders``    — mitsuba3/render_all.py (stage B)
+* ``gen-maps``       — preprocessing/build_WVU_maps.py (stage C)
+* ``gen-sequences``  — preprocessing/build_sequences.py (stage D)
+* ``stats``          — get_data_min_max.py
+* ``bench``          — the frames/sec benchmark (bench.py)
+
+Everything is config-dataclass + ``key=value`` overrides instead of the
+reference's edit-in-place constants (SURVEY.md §5 config system).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List
+
+
+def _parse_overrides(pairs: List[str]) -> Dict[str, str]:
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"override {p!r} is not key=value")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def cmd_train(args):
+    from .train.config import TrainConfig
+    from .train.loop import fit
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = TrainConfig.from_dict(json.load(f))
+    else:
+        cfg = TrainConfig()
+    cfg = cfg.apply_overrides(_parse_overrides(args.overrides))
+    if args.npz:
+        cfg.npz_path = args.npz
+    if not cfg.npz_path:
+        raise SystemExit("need --npz or npz_path in the config")
+    result = fit(cfg, profile_dir=args.profile_dir)
+    print(f"best val loss: {result['best_val_loss']:.6f}")
+
+
+def _load_checkpoint_for_eval(ckpt_path: str):
+    from .models.registry import build_model
+    from .ops.normalize import NormStats
+    from .train.checkpoint import restore_checkpoint
+
+    state, meta = restore_checkpoint(ckpt_path)
+    model_cfg = meta["config"].get("model", meta["config"])
+    _, _, apply_fn, init_state = build_model(model_cfg)
+    variables = {"params": state["params"], "stats": state["stats"]}
+    norm_stats = (NormStats.from_dict(meta["norm_stats"])
+                  if "norm_stats" in meta else None)
+    return variables, apply_fn, init_state, meta, norm_stats
+
+
+def cmd_evaluate(args):
+    import numpy as np
+
+    from .data.npz_dataset import NPZSequenceDataset
+    from .eval.metrics import evaluate_model
+    from .viz.figures import save_metrics_figures
+
+    variables, apply_fn, _, meta, norm_stats = _load_checkpoint_for_eval(
+        args.checkpoint)
+    dataset = NPZSequenceDataset(args.npz, stats=norm_stats)
+    indices = None
+    if args.split == "all":
+        indices = np.arange(len(dataset))
+    report = evaluate_model(apply_fn, variables, dataset, indices=indices,
+                            batch_size=args.batch_size,
+                            use_mask=args.use_mask)
+    print(f"MAE={report.mae:.4f}  RMSE={report.rmse:.4f}  "
+          f"bias={report.bias:+.4f}  err_std={report.err_std:.4f} [m/s]")
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "report.json"), "w") as f:
+        json.dump(report.to_dict(), f, indent=2)
+    written = save_metrics_figures(report, args.out_dir)
+    print(f"figures: {', '.join(sorted(written))} -> {args.out_dir}")
+
+
+def cmd_rollout(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .data.npz_dataset import NPZSequenceDataset
+    from .eval.rollout import rollout_streaming
+    from .ops.normalize import compute_mask, denormalize_y, normalize_x
+    from .viz.rollout_video import create_rollout_video
+
+    variables, apply_fn, init_state, meta, norm_stats = (
+        _load_checkpoint_for_eval(args.checkpoint))
+    dataset = NPZSequenceDataset(args.npz, stats=norm_stats)
+    x_raw, y_raw = dataset.get_batch_raw(np.array([args.sequence_idx]))
+    s = dataset.stats
+    x = normalize_x(jnp.asarray(x_raw), s)
+    y_pred, _ = rollout_streaming(apply_fn, variables, x, init_state)
+    pred_d = np.asarray(denormalize_y(np.asarray(y_pred, np.float32), s))
+    gt_d = np.asarray(dataset.denormalize(
+        np.asarray(dataset[args.sequence_idx][1])))
+    mask = np.asarray(compute_mask(jnp.asarray(x_raw), s))
+    stats = create_rollout_video(
+        x_raw[0], gt_d[:, 0], pred_d[0, ..., 0], mask[0, ..., 0],
+        args.out, fps=args.fps, csv_path=args.csv,
+        per_frame_pdf_dir=args.pdf_dir)
+    print(f"video -> {args.out}; last-frame MAE={stats['mae'][-1]:.4f} "
+          f"RMSE={stats['rmse'][-1]:.4f} ME={stats['me'][-1]:+.4f}")
+
+
+def cmd_overfit(args):
+    from .train.overfit import run_overfit_test
+
+    model_cfg = {"type": args.model_type, "base_ch": args.base_ch,
+                 "use_skip_lstm": True, "use_attention": False}
+    if args.model_type == "resnet18":
+        model_cfg = {"type": "resnet18", "freeze_encoder": True,
+                     "lstm_layers": 1}
+    res = run_overfit_test(args.npz, model_cfg,
+                           num_samples=args.num_samples,
+                           max_iters=args.max_iters,
+                           checkpoint_dir=args.out_dir)
+    status = "SUCCESS" if res["converged"] else "DID NOT CONVERGE"
+    print(f"[{status}] loss={res['final_loss']:.6f} after "
+          f"{res['iters']} iters on indices {sorted(res['indices'])}")
+    sys.exit(0 if res["converged"] else 1)
+
+
+def cmd_gen_mnist(args):
+    from .data.moving_mnist import save_moving_mnist_npz
+
+    path = save_moving_mnist_npz(args.out, seq_len=args.seq_len,
+                                 num_samples=args.num_samples,
+                                 image_size=args.image_size,
+                                 num_digits=args.num_digits,
+                                 seed=args.seed, as_xy=args.xy)
+    print(f"wrote {path}")
+
+
+def cmd_gen_patches(args):
+    from .datagen.lespatch import process_all_nc_files
+
+    results = process_all_nc_files(args.input, args.output,
+                                   start_from=args.start, end_at=args.end)
+    total = sum(results.values())
+    print(f"{len(results)} files -> {total} patches")
+
+
+def cmd_gen_renders(args):
+    from .datagen.render_batch import render_dataset
+
+    n = render_dataset(args.input, args.output, args.csv,
+                       resolution=(args.res, args.res), fov_deg=args.fov,
+                       g=args.g, start=args.start, end=args.end)
+    print(f"wrote {n} render pkls")
+
+
+def cmd_gen_maps(args):
+    from .datagen.velocity_maps import build_velocity_maps
+
+    n = build_velocity_maps(args.input, args.output, args.csv,
+                            mode=args.mode,
+                            resolution=(args.res, args.res),
+                            slice_height_m=args.slice_height,
+                            use_fixed_camera=not args.csv_cameras,
+                            start=args.start, end=args.end)
+    print(f"wrote {n} map pkls")
+
+
+def cmd_gen_sequences(args):
+    from .datagen.sequences import build_trajectory_sequences
+
+    out = build_trajectory_sequences(
+        args.images, args.maps, args.out, seq_len=args.seq_len,
+        num_samples=args.num_samples, map_type=args.map_type,
+        map_suffix=args.map_suffix)
+    print(f"wrote {out}")
+
+
+def cmd_stats(args):
+    from .viz.checks import dataset_stats
+
+    stats = dataset_stats(args.npz, args.key, args.out_dir)
+    print(json.dumps(stats, indent=2))
+
+
+def cmd_bench(_args):
+    import runpy
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), os.pardir,
+                                "bench.py"), run_name="__main__")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="unet_convlstm_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model (reference main.py)")
+    t.add_argument("--config", help="JSON TrainConfig file")
+    t.add_argument("--npz", help="dataset npz path")
+    t.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of steps 10-20")
+    t.add_argument("overrides", nargs="*",
+                   help="key=value config overrides (model.base_ch=32)")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate",
+                       help="metric suite (reference get_metrics.py)")
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--npz", required=True)
+    e.add_argument("--out-dir", default="eval_out")
+    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--use-mask", action="store_true")
+    e.add_argument("--split", choices=["val", "all"], default="val")
+    e.set_defaults(fn=cmd_evaluate)
+
+    r = sub.add_parser("rollout", help="rollout video (reference test.py)")
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--npz", required=True)
+    r.add_argument("--sequence-idx", type=int, default=2000)
+    r.add_argument("--out", default="rollout.mp4")
+    r.add_argument("--fps", type=int, default=2)
+    r.add_argument("--csv", default=None, help="overpass CSV for geometry")
+    r.add_argument("--pdf-dir", default=None)
+    r.set_defaults(fn=cmd_rollout)
+
+    o = sub.add_parser("overfit",
+                       help="memorization gate (reference overfit_check.py)")
+    o.add_argument("--npz", required=True)
+    o.add_argument("--model-type", choices=["custom", "resnet18"],
+                   default="custom")
+    o.add_argument("--base-ch", type=int, default=64)
+    o.add_argument("--num-samples", type=int, default=16)
+    o.add_argument("--max-iters", type=int, default=3001)
+    o.add_argument("--out-dir", default="checkpoints")
+    o.set_defaults(fn=cmd_overfit)
+
+    m = sub.add_parser("gen-mnist",
+                       help="Moving-MNIST npz (reference build_moving_mnist)")
+    m.add_argument("--out", default="moving_mnist_2dig_40seq.npz")
+    m.add_argument("--seq-len", type=int, default=40)
+    m.add_argument("--num-samples", type=int, default=10000)
+    m.add_argument("--image-size", type=int, default=64)
+    m.add_argument("--num-digits", type=int, default=2)
+    m.add_argument("--seed", type=int, default=None)
+    m.add_argument("--xy", action="store_true",
+                   help="write X/Y training layout instead of 'data'")
+    m.set_defaults(fn=cmd_gen_mnist)
+
+    gp = sub.add_parser("gen-patches", help="stage A: netCDF -> patches")
+    gp.add_argument("--input", required=True)
+    gp.add_argument("--output", required=True)
+    gp.add_argument("--start", type=int, default=None)
+    gp.add_argument("--end", type=int, default=None)
+    gp.set_defaults(fn=cmd_gen_patches)
+
+    gr = sub.add_parser("gen-renders", help="stage B: patches -> radiance")
+    gr.add_argument("--input", required=True)
+    gr.add_argument("--output", required=True)
+    gr.add_argument("--csv", required=True)
+    gr.add_argument("--res", type=int, default=256)
+    gr.add_argument("--fov", type=float, default=0.115)
+    gr.add_argument("--g", type=float, default=0.85)
+    gr.add_argument("--start", type=int, default=None)
+    gr.add_argument("--end", type=int, default=None)
+    gr.set_defaults(fn=cmd_gen_renders)
+
+    gm = sub.add_parser("gen-maps", help="stage C: patches -> velocity maps")
+    gm.add_argument("--input", required=True)
+    gm.add_argument("--output", required=True)
+    gm.add_argument("--csv", required=True)
+    gm.add_argument("--mode", choices=["slice", "first_hit"],
+                    default="slice")
+    gm.add_argument("--res", type=int, default=256)
+    gm.add_argument("--slice-height", type=float, default=1500.0)
+    gm.add_argument("--csv-cameras", action="store_true",
+                    help="use CSV camera positions instead of fixed nadir")
+    gm.add_argument("--start", type=int, default=None)
+    gm.add_argument("--end", type=int, default=None)
+    gm.set_defaults(fn=cmd_gen_maps)
+
+    gs = sub.add_parser("gen-sequences",
+                        help="stage D: renders+maps -> training npz")
+    gs.add_argument("--images", required=True)
+    gs.add_argument("--maps", required=True)
+    gs.add_argument("--out", required=True)
+    gs.add_argument("--seq-len", type=int, default=12)
+    gs.add_argument("--num-samples", type=int, default=49)
+    gs.add_argument("--map-type", choices=["w", "u", "v"], default="w")
+    gs.add_argument("--map-suffix", default="slice_1000m")
+    gs.set_defaults(fn=cmd_gen_sequences)
+
+    st = sub.add_parser("stats", help="dataset stats (get_data_min_max)")
+    st.add_argument("--npz", required=True)
+    st.add_argument("--key", default="Y")
+    st.add_argument("--out-dir", default=None)
+    st.set_defaults(fn=cmd_stats)
+
+    b = sub.add_parser("bench", help="frames/sec benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,20 +32,37 @@ def _spatial_gradients(t: jax.Array):
 def compute_loss(y_pred: jax.Array, y: jax.Array,
                  mask: Optional[jax.Array] = None,
                  use_mask: bool = True,
-                 grad_weight: float = 0.005) -> jax.Array:
+                 grad_weight: float = 0.005,
+                 sample_weight: Optional[jax.Array] = None) -> jax.Array:
+    """``sample_weight``: optional [B] 0/1 vector excluding padded batch rows
+    (static-shape tail batches for SPMD sharding); with all-ones or None the
+    math reduces exactly to the reference formulas."""
     y_pred = y_pred.astype(jnp.float32)
     y = y.astype(jnp.float32)
+
+    sw = None
+    if sample_weight is not None:
+        sw = sample_weight.astype(jnp.float32).reshape(
+            (-1,) + (1,) * (y.ndim - 1))
 
     abs_diff = jnp.abs(y_pred - y)
     weight = 1.0 + 4.0 * jnp.abs(y) ** 3
 
+    def _mean(t):
+        if sw is None:
+            return jnp.mean(t)
+        n = jnp.sum(jnp.broadcast_to(sw, t.shape))
+        return jnp.sum(t * sw) / (n + 1e-8)
+
     if use_mask and mask is not None:
-        mask = mask.astype(jnp.float32)
-        num = jnp.sum(abs_diff * mask * weight)
-        den = jnp.sum(mask * weight) + 1e-8
+        m = mask.astype(jnp.float32)
+        if sw is not None:
+            m = m * sw
+        num = jnp.sum(abs_diff * m * weight)
+        den = jnp.sum(m * weight) + 1e-8
         weighted_l1 = num / den
     else:
-        weighted_l1 = jnp.mean(abs_diff * weight)
+        weighted_l1 = _mean(abs_diff * weight)
 
     dx_p, dy_p = _spatial_gradients(y_pred)
     dx_g, dy_g = _spatial_gradients(y)
@@ -56,10 +73,12 @@ def compute_loss(y_pred: jax.Array, y: jax.Array,
                  + jnp.abs(dy_p[..., :h_min, :w_min, :] - dy_g[..., :h_min, :w_min, :]))
 
     if use_mask and mask is not None:
-        mask_c = mask[..., :h_min, :w_min, :]
+        mask_c = mask[..., :h_min, :w_min, :].astype(jnp.float32)
+        if sw is not None:
+            mask_c = mask_c * sw
         grad_loss = jnp.sum(grad_diff * mask_c) / (jnp.sum(mask_c) + 1e-8)
     else:
-        grad_loss = jnp.mean(grad_diff)
+        grad_loss = _mean(grad_diff)
 
     return weighted_l1 + grad_weight * grad_loss
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.npz_dataset import NPZSequenceDataset
-from ..data.pipeline import SequenceLoader, prefetch_to_device
+from ..data.pipeline import SequenceLoader, pad_batch, prefetch_to_device
 from ..models.registry import build_model
 from ..parallel.mesh import make_mesh, batch_sharding, replicated_sharding
 from .config import TrainConfig
@@ -121,15 +121,19 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         tr = metric_sums_finalize(jax.device_get(sums))
         tr_time = time.time() - t0
 
-        # ---- eval ----
+        # ---- eval (tail batches padded to keep shapes static/shardable) ----
         variables = {"params": state["params"], "stats": state["stats"]}
         losses, sums = [], metric_sums_init()
         n_seen = 0
-        for x_raw, y_raw in prefetch_to_device(val_loader, 2, bat_shard):
-            loss, s = eval_step(variables, x_raw, y_raw)
-            losses.append(loss * x_raw.shape[0])
+
+        for x_np, y_np in val_loader:
+            x_np, y_np, n_real = pad_batch(x_np, y_np, cfg.batch_size)
+            x_raw = jax.device_put(x_np, bat_shard)
+            y_raw = jax.device_put(y_np, bat_shard)
+            loss, s = eval_step(variables, x_raw, y_raw, n_real)
+            losses.append(loss * n_real)
             sums = _tree_add(sums, s)
-            n_seen += x_raw.shape[0]
+            n_seen += int(n_real)
         val_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
         va = metric_sums_finalize(jax.device_get(sums))
 

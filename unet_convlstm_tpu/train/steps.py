@@ -85,24 +85,29 @@ def make_eval_step(apply_fn: Callable, norm_stats: NormStats,
     """(variables, x_raw, y_raw) → (loss, sums) — reference evaluate()
     (main.py:151-205) as one jitted call."""
 
-    def step(variables, x_raw, y_raw):
+    def step(variables, x_raw, y_raw, n_valid):
+        """``n_valid``: number of real rows — the rest are zero padding that
+        keeps the batch shape static/shardable; they carry zero weight."""
+        B = x_raw.shape[0]
+        valid = (jnp.arange(B) < n_valid).astype(jnp.float32)
         x = normalize_x(x_raw, norm_stats)
         y = normalize_y(y_raw, norm_stats)
         mask = compute_mask(x_raw, norm_stats)
         y_pred, _, _ = apply_fn(variables, x, train=False)
         loss = compute_loss(y_pred, y, mask, use_mask,
-                            grad_weight=grad_weight)
+                            grad_weight=grad_weight, sample_weight=valid)
+        vmask = valid.reshape((-1,) + (1,) * (y.ndim - 1))
         sums = metric_sums_update(
             metric_sums_init(),
             denormalize_y(y_pred.astype(jnp.float32), norm_stats),
             denormalize_y(y, norm_stats),
-            mask, use_mask)
+            mask * vmask if use_mask else vmask, use_mask=True)
         return loss, sums
 
     kwargs: Dict[str, Any] = {}
     if mesh is not None:
         rep = replicated_sharding(mesh)
         bat = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, bat, bat)
+        kwargs["in_shardings"] = (rep, bat, bat, rep)
         kwargs["out_shardings"] = (rep, rep)
     return jax.jit(step, **kwargs)
