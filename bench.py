@@ -21,7 +21,8 @@ import numpy as np
 
 REF_FRAMES_PER_SEC = 4.69  # reference torch, this host (BASELINE.md)
 
-B, T, H = 8, 10, 64
+B, T, H = 64, 10, 64
+UNROLL = 10  # full scan unroll over the sequence (+10% on v5e)
 WARMUP, ITERS = 3, 20
 
 
@@ -47,9 +48,12 @@ def main():
     x_raw = np.ascontiguousarray(np.moveaxis(X, 2, -1))
     y_raw = np.ascontiguousarray(np.moveaxis(Y, 2, -1))
 
+    import functools
+
     cfg_dict = {"type": "custom", "base_ch": 32, "use_skip_lstm": True,
                 "use_attention": False, "lstm_layers": 1}
     _, init_fn, apply_fn, _ = build_model(cfg_dict)
+    apply_fn = functools.partial(apply_fn, unroll=UNROLL)
     variables = init_fn(jax.random.PRNGKey(0))
     variables = jax.device_put(variables, replicated_sharding(mesh))
     tx = make_optimizer(1e-3)

@@ -232,7 +232,9 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
                       state: Optional[Dict[str, Any]] = None,
                       train: bool = False,
                       policy: Policy = DEFAULT_POLICY,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False,
+                      unroll: int = 1,
+                      remat: bool = False):
     """x_seq: [B,T,H,W,in_channels] → (y_seq [B,T,H,W,out], new_state,
     new_stats). H, W must be divisible by 32."""
     params, stats = variables["params"], variables["stats"]
@@ -240,9 +242,11 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
     x_bt = x_seq.reshape(B * T, *x_seq.shape[2:])
 
     enc_train = train and (not cfg.freeze_encoder or cfg.encoder_bn_train)
-    feats, enc_ns = resnet18_encoder_apply(params["encoder"],
-                                           stats["encoder"], x_bt,
-                                           enc_train, policy)
+    enc_apply = (jax.checkpoint(resnet18_encoder_apply,
+                                static_argnums=(3, 4))
+                 if remat else resnet18_encoder_apply)
+    feats, enc_ns = enc_apply(params["encoder"], stats["encoder"], x_bt,
+                              enc_train, policy)
     if cfg.freeze_encoder and not cfg.encoder_bn_train:
         enc_ns = stats["encoder"]  # frozen: running stats untouched
         feats = [jax.lax.stop_gradient(f) for f in feats]
@@ -253,7 +257,8 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
     s = None if state is None else state.get("temporal")
     xb_out, new_state["temporal"] = convlstm(params["temporal"], xb_tm,
                                              state=s, policy=policy,
-                                             use_pallas=use_pallas)
+                                             use_pallas=use_pallas,
+                                             unroll=unroll)
     feats[-1] = _to_batch_major(xb_out, B, T).astype(x_bt.dtype)
     # skip recurrences
     for i in range(len(ENCODER_CHANNELS) - 1):
@@ -261,7 +266,8 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
         s = None if state is None else state.get(f"skip{i}")
         f_out, new_state[f"skip{i}"] = convlstm(params[f"skip{i}"], f_tm,
                                                 state=s, policy=policy,
-                                                use_pallas=use_pallas)
+                                                use_pallas=use_pallas,
+                                                unroll=unroll)
         feats[i] = _to_batch_major(f_out, B, T).astype(x_bt.dtype)
 
     y_bt, dec_ns = decoder_apply(params["decoder"], stats["decoder"], feats,

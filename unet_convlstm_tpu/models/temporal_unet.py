@@ -157,7 +157,9 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
                         state: Optional[Dict[str, Any]] = None,
                         train: bool = False,
                         policy: Policy = DEFAULT_POLICY,
-                        use_pallas: bool = False
+                        use_pallas: bool = False,
+                        unroll: int = 1,
+                        remat: bool = False
                         ) -> Tuple[jax.Array, Dict[str, Any], Dict[str, Any]]:
     """Forward over a full sequence.
 
@@ -169,14 +171,16 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
 
     # --- Encoder, batched over B*T (MXU-friendly) ---
     x_bt = x_seq.reshape(B * T, *x_seq.shape[2:])
-    xb, skips, enc_stats = _encode(params, stats, x_bt, cfg, train, policy)
+    encode = (jax.checkpoint(_encode, static_argnums=(3, 4, 5))
+              if remat else _encode)
+    xb, skips, enc_stats = encode(params, stats, x_bt, cfg, train, policy)
 
     # --- Temporal recurrence at the bottleneck (lax.scan) ---
     xb_tm = _to_time_major(xb, B, T)
     lstm_state = None if state is None else state.get("temporal")
     xb_out_tm, new_temporal = convlstm(params["temporal"], xb_tm,
                                        state=lstm_state, policy=policy,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas, unroll=unroll)
     new_state: Dict[str, Any] = {"temporal": new_temporal}
 
     # --- Optional skip recurrences ---
@@ -187,9 +191,11 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
         s3 = None if state is None else state.get("skip3")
         s2 = None if state is None else state.get("skip2")
         x3_out, new_s3 = convlstm(params["skip3"], x3_tm, state=s3,
-                                  policy=policy, use_pallas=use_pallas)
+                                  policy=policy, use_pallas=use_pallas,
+                                  unroll=unroll)
         x2_out, new_s2 = convlstm(params["skip2"], x2_tm, state=s2,
-                                  policy=policy, use_pallas=use_pallas)
+                                  policy=policy, use_pallas=use_pallas,
+                                  unroll=unroll)
         x3 = _to_batch_major(x3_out, B, T)
         x2 = _to_batch_major(x2_out, B, T)
         new_state["skip3"] = new_s3

@@ -92,7 +92,8 @@ def convlstm(params, x_seq: jax.Array,
              state: Optional[List[Carry]] = None,
              hidden_dim: Optional[int] = None,
              policy: Policy = DEFAULT_POLICY,
-             use_pallas: bool = False) -> Tuple[jax.Array, List[Carry]]:
+             use_pallas: bool = False,
+             unroll: int = 1) -> Tuple[jax.Array, List[Carry]]:
     """Run the full stack over a time-major sequence.
 
     x_seq: [T, B, H, W, Cin]. Returns (out_seq [T,B,H,W,hidden], final states).
@@ -118,6 +119,7 @@ def convlstm(params, x_seq: jax.Array,
             h_t, carry = convlstm_cell_step(_p, x_t, carry, policy, use_pallas)
             return carry, h_t
 
-        final_carry, out = jax.lax.scan(step, state[l], out)
+        final_carry, out = jax.lax.scan(step, state[l], out,
+                                        unroll=unroll)
         new_states.append(final_carry)
     return out, new_states

@@ -36,7 +36,8 @@ class TrainConfig:
     })
     # runtime
     seed: int = 42
-    use_pallas: bool = True
+    use_pallas: bool = False      # fused gate kernel (XLA fuses equally well)
+    unroll: int = 10              # lax.scan unroll for the recurrences
     remat: bool = False           # jax.checkpoint the per-frame encoder
     mesh_data: Optional[int] = None   # None → all devices
     mesh_model: int = 1

@@ -68,7 +68,11 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         raise ValueError(f"batch {cfg.batch_size} not divisible by "
                          f"data-parallel degree {n_data}")
 
+    import functools
+
     model_cfg, init_fn, apply_fn, _ = build_model(cfg.model)
+    apply_fn = functools.partial(apply_fn, use_pallas=cfg.use_pallas,
+                                 unroll=cfg.unroll, remat=cfg.remat)
     key = jax.random.PRNGKey(cfg.seed)
     with jax.default_device(jax.devices()[0]):
         variables = init_fn(key)
