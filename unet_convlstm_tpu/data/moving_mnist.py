@@ -140,6 +140,12 @@ def generate_moving_mnist(seq_len: int = 10, num_samples: int = 1000,
     H = image_size
     data = np.zeros((num_samples, seq_len, 2, H, H), np.float32)
 
+    try:  # native paste kernel (same semantics, one fused pass per frame)
+        from ..native.build import load_hostio
+        lib = load_hostio()
+    except Exception:
+        lib = None
+
     for i in range(num_samples):
         seq = np.zeros((seq_len, H, H), np.float32)
         vel = np.zeros((seq_len, H, H), np.float32)
@@ -149,17 +155,24 @@ def generate_moving_mnist(seq_len: int = 10, num_samples: int = 1000,
             x0, y0 = np.random.randint(0, H - 28 + 1, size=2)
             vx0, vy0 = np.random.randint(-5, 6, size=2)
 
-            digit_norm = digit.astype(np.float32) / 255.0
+            digit_norm = np.ascontiguousarray(
+                digit.astype(np.float32) / 255.0)
             mask = digit_norm > 0
             vals = digit_norm[mask]
 
             xs, ys, vxs = _simulate_trajectory(
                 int(x0), int(y0), int(vx0), int(vy0), seq_len, H)
             for t in range(seq_len):
-                win_s = seq[t, ys[t]:ys[t] + 28, xs[t]:xs[t] + 28]
-                win_v = vel[t, ys[t]:ys[t] + 28, xs[t]:xs[t] + 28]
-                win_s[mask] = vals          # later digit overwrites
-                win_v[mask] += vxs[t]       # velocities accumulate
+                if lib is not None:
+                    lib.paste_digit_f32(
+                        seq[t].ctypes.data, vel[t].ctypes.data,
+                        digit_norm.ctypes.data, H, int(ys[t]), int(xs[t]),
+                        float(vxs[t]))
+                else:
+                    win_s = seq[t, ys[t]:ys[t] + 28, xs[t]:xs[t] + 28]
+                    win_v = vel[t, ys[t]:ys[t] + 28, xs[t]:xs[t] + 28]
+                    win_s[mask] = vals      # later digit overwrites
+                    win_v[mask] += vxs[t]   # velocities accumulate
         data[i, :, 0] = seq
         data[i, :, 1] = vel
     return data

@@ -122,8 +122,13 @@ class NPZSequenceDataset:
     # ---- raw NHWC batch access (device normalizes) ----
 
     def get_batch_raw(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw (x, y) for ``indices``, NHWC: x [b,T,H,W,2], y [b,T,H,W,1]."""
-        return (_nchw_to_nhwc(self.X[indices]), _nchw_to_nhwc(self.Y[indices]))
+        """Raw (x, y) for ``indices``, NHWC: x [b,T,H,W,2], y [b,T,H,W,1].
+        Uses the fused native gather+transpose kernel when available
+        (data/fast_gather.py), numpy otherwise."""
+        from .fast_gather import gather_transpose
+
+        return (gather_transpose(self.X, indices),
+                gather_transpose(self.Y, indices))
 
     def train_val_split(self, train_frac: float = 0.8, seed: int = 42):
         """Deterministic split (reference: seeded random_split replayed at
