@@ -53,7 +53,8 @@ def cmd_train(args):
         cfg.npz_path = args.npz
     if not cfg.npz_path:
         raise SystemExit("need --npz or npz_path in the config")
-    result = fit(cfg, profile_dir=args.profile_dir)
+    result = fit(cfg, profile_dir=args.profile_dir,
+                 resume_from=args.resume)
     print(f"best val loss: {result['best_val_loss']:.6f}")
 
 
@@ -216,6 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--npz", help="dataset npz path")
     t.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of steps 10-20")
+    t.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (true resume: "
+                        "optimizer + scheduler + epoch restored)")
     t.add_argument("overrides", nargs="*",
                    help="key=value config overrides (model.base_ch=32)")
     t.set_defaults(fn=cmd_train)

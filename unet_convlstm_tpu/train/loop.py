@@ -39,6 +39,22 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def _append_history_csv(ckpt_dir: str, row: Dict[str, Any]) -> None:
+    """Persistent per-epoch metrics log (the reference only prints,
+    main.py:302-304)."""
+    import csv
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "history.csv")
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(row))
+        if new:
+            writer.writeheader()
+        writer.writerow(row)
+
+
 def _trainable_mask(params: Dict[str, Any], model_cfg: Dict[str, Any]):
     """Frozen-encoder filter (reference main.py:257-261 trains only
     requires_grad params; resnet18.py:41-44 freezes the encoder)."""
@@ -50,8 +66,13 @@ def _trainable_mask(params: Dict[str, Any], model_cfg: Dict[str, Any]):
 
 def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         epochs: Optional[int] = None, verbose: bool = True,
-        profile_dir: Optional[str] = None) -> Dict[str, Any]:
-    """Train per config; returns {'state', 'history', 'best_val_loss', ...}."""
+        profile_dir: Optional[str] = None,
+        resume_from: Optional[str] = None) -> Dict[str, Any]:
+    """Train per config; returns {'state', 'history', 'best_val_loss', ...}.
+
+    ``resume_from``: checkpoint dir — restores params + BN stats + optimizer
+    + scheduler state and continues from the saved epoch (true resume; the
+    reference cannot — it saves no optimizer state, SURVEY.md §5)."""
     log = print if verbose else (lambda *a, **k: None)
 
     if dataset is None:
@@ -93,6 +114,23 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     scheduler = ReduceLROnPlateau(cfg.lr, cfg.plateau_factor,
                                   cfg.plateau_patience)
 
+    start_epoch = 1
+    best_val = float("inf")
+    if resume_from:
+        from .checkpoint import restore_checkpoint
+
+        restored, meta = restore_checkpoint(resume_from,
+                                            state_template=state)
+        state = jax.device_put(restored, replicated_sharding(mesh))
+        if "scheduler" in meta:
+            scheduler.load_state_dict(meta["scheduler"])
+            state["opt_state"] = set_learning_rate(state["opt_state"],
+                                                   scheduler.lr)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_val = float(meta.get("val_loss", float("inf")))
+        log(f"resumed from {resume_from} at epoch {start_epoch} "
+            f"(best val {best_val:.4f}, lr {scheduler.lr:.2e})")
+
     bat_shard = batch_sharding(mesh)
     train_loader = SequenceLoader(dataset, train_idx, cfg.batch_size,
                                   shuffle=True, seed=cfg.seed,
@@ -101,12 +139,11 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                                 shuffle=False)
 
     model_name = cfg.model.get("type", "custom")
-    best_val = float("inf")
     history = []
     n_epochs = epochs if epochs is not None else cfg.epochs
     global_step = 0
 
-    for epoch in range(1, n_epochs + 1):
+    for epoch in range(start_epoch, n_epochs + 1):
         # ---- train ----
         t0 = time.time()
         losses, sums = [], metric_sums_init()
@@ -149,6 +186,8 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                **{f"train_{k}": v for k, v in tr.items()},
                **{f"val_{k}": v for k, v in va.items()}}
         history.append(row)
+        if cfg.checkpoint_dir:
+            _append_history_csv(cfg.checkpoint_dir, row)
         log(f"Epoch {epoch}/{n_epochs}: "
             f"Train Loss={tr_loss:.4f} MAE={tr['mae']:.4f} "
             f"RMSE={tr['rmse']:.4f} ME={tr['me']:.4f} | "
