@@ -266,3 +266,17 @@ def test_lespatch_h5py_ingest(tmp_path):
     _, _, beta = process_cloud_vars(qn, ncd, tabs, p)
     np.testing.assert_allclose(patch["beta_ext"], beta.astype(np.float32),
                                rtol=1e-6)
+
+
+def test_synthesize_overpass_csv(tmp_path):
+    from unet_convlstm_tpu.datagen.overpass import synthesize_overpass_csv
+    path = synthesize_overpass_csv(str(tmp_path / "synth.csv"),
+                                   n_times=4, n_satellites=3)
+    views = read_overpass_csv(path)
+    assert len(views) == 12
+    times, schedule = camera_schedule(views)
+    assert len(times) == 4 and all(len(schedule[t]) == 3 for t in times)
+    v = views[0]
+    assert 0 < v.sat_zenith < 90
+    assert v.sat_enu_km[2] > 500  # LEO altitude
+    assert 0 < v.scattering_angle < 180

@@ -122,3 +122,25 @@ def test_viewers(tmp_path, rng):
     desc = describe_pkl(str(tmp_path / "p.pkl"))
     assert desc["render"]["shape"] == (16, 16)
     assert "timestamp" in desc
+
+
+def test_legacy_viewer(tmp_path, rng):
+    import pickle
+    from unet_convlstm_tpu.viz.legacy_viewer import (
+        PKLSequenceDataset, animate_sequence)
+    folder = tmp_path / "legacy"
+    folder.mkdir()
+    for t in range(4):
+        payload = {
+            "tensors": rng.random((1, 3, 16, 16)).astype(np.float32),
+            "target": rng.standard_normal((16, 16)).astype(np.float32),
+            "target_slice": rng.standard_normal((9, 1, 16, 16)
+                                                ).astype(np.float32),
+            "envelope": rng.random((16, 16)).astype(np.float32),
+        }
+        with open(folder / f"sample_{t}_3_7.pkl", "wb") as f:
+            pickle.dump(payload, f)
+    ds = PKLSequenceDataset(str(folder), seq_len=2, overlap=1)
+    assert len(ds) == 3
+    out = animate_sequence(ds, 0, str(tmp_path / "legacy.mp4"))
+    assert os.path.getsize(out) > 5000

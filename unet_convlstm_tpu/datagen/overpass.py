@@ -87,6 +87,49 @@ def camera_schedule(views: List[OverpassView]
     return sorted(schedule), schedule
 
 
+def synthesize_overpass_csv(path: str, n_times: int = 12,
+                            n_satellites: int = 2,
+                            time_step_s: float = 20.0,
+                            altitude_km: float = 580.0,
+                            along_track_speed_km_s: float = 7.5,
+                            sun_zenith0: float = 145.0,
+                            sun_azimuth0: float = 32.7) -> str:
+    """Generate an overpass CSV with the reference schema (the reference
+    ships measured CSVs as data assets, data/Dor_2satellites_overpass.csv —
+    this synthesizes a physically plausible constellation pass: satellites
+    trail each other along-track at LEO altitude, geometry advancing per
+    time step)."""
+    rows = []
+    for ti in range(n_times):
+        t = ti * time_step_s
+        for s in range(n_satellites):
+            # along-track offset per satellite; track advances with time
+            along = -900.0 + along_track_speed_km_s * t + 150.0 * s
+            cross = 150.0 + 5.0 * s
+            pos = np.array([along, cross, altitude_km])
+            ground = np.linalg.norm(pos[:2])
+            sat_zenith = np.degrees(np.arctan2(ground, altitude_km))
+            sat_azimuth = (np.degrees(np.arctan2(cross, along)) + 360) % 360
+            sun_ze = sun_zenith0 - 0.002 * t
+            sun_az = sun_azimuth0 + 0.005 * t
+            sun = sun_direction(sun_ze, sun_az)
+            view = -pos / np.linalg.norm(pos)
+            scattering = float(np.degrees(np.arccos(
+                np.clip(np.dot(sun, view), -1, 1))))
+            rows.append((t, sun_ze, sun_az, sat_zenith, sat_azimuth,
+                         scattering, pos))
+    with open(path, "w") as f:
+        f.write("utc time,sun zenith [deg],sun azimuth [deg],"
+                "sat zenith [deg],sat azimuth [deg],"
+                "scattering angle [deg],sat ENU coordinates [km],"
+                "lookat ENU coordinates [km]\n")
+        for (t, sz, sa, vz, va, sc, pos) in rows:
+            f.write(f"{t:g},{sz:.7f},{sa:.7f},{vz:.7f},{va:.7f},{sc:.7f},"
+                    f'"[{pos[0]:.6f}, {pos[1]:.6f}, {pos[2]:.6f}]",'
+                    f'"[0, 0, 0]"\n')
+    return path
+
+
 def sun_direction(zenith_deg: float, azimuth_deg: float) -> np.ndarray:
     """Spherical → cartesian propagation direction of sunlight, exactly the
     reference's formula (render.py:204-211):
