@@ -163,11 +163,19 @@ def batchnorm_init(num_features: int, dtype=jnp.float32):
 
 def batchnorm(params, stats, x, train: bool, momentum: float = 0.1,
               eps: float = 1e-5) -> Tuple[jax.Array, dict]:
-    """x: NHWC. Returns (y, new_stats). Normalization math in float32."""
-    xf = x.astype(jnp.float32)
+    """x: NHWC. Returns (y, new_stats).
+
+    Statistics accumulate in float32 (reduce-level accumulation — no f32
+    materialization of the activation); the per-element normalization runs
+    in x's dtype so it fuses into the surrounding conv/ReLU without an HBM
+    round-trip at double width. With f32 inputs this is exact torch
+    BatchNorm2d math (momentum 0.1, eps 1e-5, biased batch var for the
+    normalization, unbiased var for the running estimate)."""
     if train:
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))  # biased
+        mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+        mean_sq = jnp.mean(lax.square(x), axis=(0, 1, 2),
+                           dtype=jnp.float32)
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)  # biased
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
@@ -178,5 +186,6 @@ def batchnorm(params, stats, x, train: bool, momentum: float = 0.1,
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
     inv = lax.rsqrt(var + eps) * params["scale"]
-    y = (xf - mean) * inv + params["bias"]
-    return y.astype(x.dtype), new_stats
+    shift = params["bias"] - mean * inv
+    y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+    return y, new_stats
