@@ -149,3 +149,33 @@ def test_render_batch_driver(tmp_path):
     assert d["render"].shape == (16, 16)
     assert d["timestamp"] == 0 and d["satellite_idx"] == 0
     assert np.isfinite(d["render"]).all()
+
+
+def test_ocean_albedo_adds_background():
+    """Legacy ocean surface (render_from_udi_class.py:223-234): downward
+    rays that miss the cloud pick up sun-lit surface radiance."""
+    beta = np.zeros((8, 16, 16), np.float32)
+    beta[3:5, 6:10, 6:10] = 0.3
+    scene = VolumeScene(jnp.asarray(beta), 20.0)
+    # fov sized so the footprint (~240 m) stays inside the 320 m volume
+    kw = dict(origin=(0, 0, 20000.0), target=(0, 0, 0), fov_deg=0.6,
+              resolution=(16, 16), sun_dir=(0.1, 0.0, -0.99))
+    dark = np.asarray(render_radiance(scene, **kw, ocean_albedo=0.0))
+    lit = np.asarray(render_radiance(scene, **kw, ocean_albedo=0.3))
+    assert lit[1, 1] > dark[1, 1]           # clear-sky pixel sees ocean
+    assert np.all(lit >= dark - 1e-6)
+    # under the optically thick cloud the ocean contribution is attenuated
+    clear_gain = lit[1, 1] - dark[1, 1]
+    cloudy_gain = lit[8, 8] - dark[8, 8]
+    assert cloudy_gain < clear_gain
+
+
+def test_fov_from_geometry():
+    from unet_convlstm_tpu.datagen.renderer import fov_from_geometry
+    fov = fov_from_geometry([46.8, 53.8], [573.0, 558.0],
+                            cloud_width_m=2560.0)
+    # nadir-ish satellite at ~573 km covering 2.56 km: tiny fov
+    assert 0.2 < fov < 0.4
+    fov_pad = fov_from_geometry([46.8, 53.8], [573.0, 558.0],
+                                cloud_width_m=2560.0, pad_image=True)
+    assert np.isfinite(fov_pad)

@@ -136,10 +136,32 @@ def sun_transmittance(scene: VolumeScene, sun_dir,
         jnp.asarray(sun_dir, jnp.float32), float(step), n_steps)
 
 
+def fov_from_geometry(sat_zeniths_deg, sat_altitudes_km, cloud_width_m,
+                      cloud_top_km: float = 0.0,
+                      pad_image: bool = False) -> float:
+    """Field of view derived from the constellation geometry — the legacy
+    renderer's sizing logic (reference render_from_udi_class.py:85-100 and
+    render.py:86-100): either just cover the cloud from the most-nadir
+    satellite, or (pad_image) widen so the most-oblique satellite's
+    footprint fits. Returns degrees."""
+    z = np.asarray(sat_zeniths_deg, np.float64)
+    h = np.asarray(sat_altitudes_km, np.float64)
+    W_km = cloud_width_m / 1000.0
+    i_lim = int(np.argmax(z))
+    i_nad = int(np.argmin(z))
+    if pad_image:
+        theta = np.deg2rad(z[i_lim])
+        dz = np.tan(theta) * h[i_lim]
+        return float(2 * (-z[i_lim] + np.degrees(
+            np.arctan((dz + W_km / 2) / (h[i_lim] - cloud_top_km)))))
+    return float(2 * np.degrees(
+        np.arctan((W_km / 2) / (h[i_nad] - cloud_top_km))))
+
+
 @partial(jax.jit, static_argnames=("resolution", "n_steps", "fov"))
 def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
                  target, up, sun_dir, fov, resolution, step, n_steps,
-                 g, albedo, irradiance):
+                 g, albedo, irradiance, ocean_albedo):
     H, W = resolution
     nz, ny, nx = beta.shape
     rays_o, rays_d = make_camera_rays(origin, target, up, fov, resolution)
@@ -174,7 +196,26 @@ def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
 
     L0 = jnp.zeros(ro.shape[0])
     tau0 = jnp.zeros(ro.shape[0])
-    L, _ = jax.lax.fori_loop(0, n_steps, body, (L0, tau0))
+    L, tau = jax.lax.fori_loop(0, n_steps, body, (L0, tau0))
+
+    # Lambertian ocean/ground at z = min_bound[2] (the legacy renderer's
+    # ocean cube, render_from_udi_class.py:223-234): rays that exit the
+    # bottom pick up sun-lit surface radiance attenuated by both paths.
+    dz = rd[:, 2]
+    hits_down = dz < -1e-6
+    t_ground = (min_bound[2] - ro[:, 2]) / jnp.where(hits_down, dz, -1.0)
+    gp = ro + rd * t_ground[:, None]
+    in_xy = ((gp[:, 0] >= min_bound[0]) & (gp[:, 0] <= max_bound[0])
+             & (gp[:, 1] >= min_bound[1]) & (gp[:, 1] <= max_bound[1]))
+    nzi, nyi, nxi = beta.shape
+    gi = ((gp - min_bound) / voxel_size).astype(jnp.int32)
+    gxg = jnp.clip(gi[:, 0], 0, nxi - 1)
+    gyg = jnp.clip(gi[:, 1], 0, nyi - 1)
+    t_sun_ground = t_sun[0, gyg, gxg]          # sun transmittance at z=0
+    cos_sun = jnp.maximum(-sun_dir[2], 0.0)    # downwelling component
+    L_ground = (ocean_albedo / jnp.pi) * irradiance * cos_sun \
+        * t_sun_ground * jnp.exp(-tau)
+    L = L + jnp.where(hits_down & in_xy, L_ground, 0.0)
     return L.reshape(H, W)
 
 
@@ -183,10 +224,13 @@ def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                     sun_dir=(0.0, 0.0, -1.0), g: float = 0.85,
                     albedo: float = 1.0, irradiance: float = SUN_IRRADIANCE,
                     step: Optional[float] = None,
-                    t_sun: Optional[jax.Array] = None) -> jax.Array:
+                    t_sun: Optional[jax.Array] = None,
+                    ocean_albedo: float = 0.0) -> jax.Array:
     """Render one grayscale radiance view [H, W]. Pass a precomputed
     ``t_sun`` (sun_transmittance) to amortize it across views that share a
-    timestamp."""
+    timestamp. ``ocean_albedo`` > 0 adds the legacy renderer's Lambertian
+    ocean surface (reference reflectance 0.0003,
+    render_from_udi_class.py:223-234)."""
     step = step or scene.voxel_size
     sun_dir = jnp.asarray(sun_dir, jnp.float32)
     sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
@@ -199,7 +243,7 @@ def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
         jnp.asarray(origin, jnp.float32), jnp.asarray(target, jnp.float32),
         jnp.asarray(up, jnp.float32), sun_dir, float(fov_deg),
         tuple(resolution), float(step), n_steps, float(g), float(albedo),
-        float(irradiance))
+        float(irradiance), float(ocean_albedo))
 
 
 def make_synthetic_debug_volume(width: int = 128, depth: int = 200
