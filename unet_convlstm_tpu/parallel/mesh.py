@@ -63,8 +63,11 @@ class MeshRules:
     shard_model_channels: bool = False  # TP seam: conv out-channels on 'model'
 
     def param_spec(self, path: str, leaf) -> P:
-        if self.shard_model_channels and leaf.ndim == 4:
-            # HWIO conv kernels: shard output channels.
+        model_size = self.mesh.shape.get("model", 1)
+        if (self.shard_model_channels and leaf.ndim == 4
+                and leaf.shape[-1] % model_size == 0):
+            # HWIO conv kernels: shard output channels (skip heads whose
+            # channel count doesn't divide the axis, e.g. the 1-ch outc).
             return P(None, None, None, "model")
         return P()
 
