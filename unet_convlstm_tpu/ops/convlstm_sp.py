@@ -1,0 +1,112 @@
+"""Sequence-parallel (time-sharded) ConvLSTM — pipelined over a mesh axis.
+
+The reference holds whole sequences on one device and loops T in Python
+(reference train/unet.py:46-60); our standard path scans T on one device
+(ops/convlstm.py). For rollouts too long for one chip's HBM, this module
+shards the TIME axis across a mesh axis and pipelines the recurrence
+GPipe-style (SURVEY.md §5 "ring/CP over the time axis ... ppermute the (h,c)
+carry"):
+
+* Each of S devices holds a contiguous chunk of T/S frames (time-major,
+  sharded via shard_map).
+* The batch splits into M microbatches. At pipeline step s, device d runs
+  its chunk's scan for microbatch m = s - d; the resulting (h, c) carry is
+  handed to device d+1 with ``lax.ppermute`` over ICI. S + M - 1 steps
+  drain the pipeline; device utilization is M / (S + M - 1).
+* Exact numerics: identical to the single-device scan (verified in
+  tests/test_parallel_sp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.dtypes import Policy, DEFAULT_POLICY
+from .convlstm import convlstm_cell_step
+
+
+def convlstm_time_pipelined(params, x_seq: jax.Array, mesh: Mesh,
+                            axis: str = "data", microbatches: int = 2,
+                            policy: Policy = DEFAULT_POLICY
+                            ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Run a single ConvLSTM layer over time-sharded input.
+
+    x_seq: [T, B, H, W, Cin] (global). Requires T % S == 0 and
+    B % microbatches == 0. Returns (out_seq [T, B, H, W, hidden],
+    final (h, c) [B, H, W, hidden]).
+    """
+    S = mesh.shape[axis]
+    T, B = x_seq.shape[0], x_seq.shape[1]
+    M = microbatches
+    if T % S:
+        raise ValueError(f"T={T} not divisible by {S} devices on {axis!r}")
+    if B % M:
+        raise ValueError(f"B={B} not divisible by {M} microbatches")
+    mb = B // M
+    hidden = params["conv"]["w"].shape[-1] // 4
+    cell = functools.partial(convlstm_cell_step, policy=policy)
+
+    def worker(x_local):
+        # x_local: [T/S, B, H, W, Cin] — this device's time chunk
+        idx = lax.axis_index(axis)
+        spatial = x_local.shape[2:4]
+        carry_shape = (mb,) + spatial + (hidden,)
+        h = jnp.zeros(carry_shape, jnp.float32)
+        c = jnp.zeros(carry_shape, jnp.float32)
+        y_local = jnp.zeros(x_local.shape[:-1] + (hidden,), jnp.float32)
+        # final (h, c) per microbatch, filled only on the last device
+        fin_h = jnp.zeros((M,) + carry_shape, jnp.float32)
+        fin_c = jnp.zeros((M,) + carry_shape, jnp.float32)
+
+        def scan_chunk(carry, x_chunk_mb):
+            def step(cr, x_t):
+                _, cr = cell(params, x_t, cr)
+                return cr, cr[0]
+
+            return lax.scan(step, carry, x_chunk_mb)
+
+        for s in range(S + M - 1):
+            m = s - idx
+            active = (m >= 0) & (m < M)
+            off = jnp.clip(m, 0, M - 1) * mb
+            x_mb = lax.dynamic_slice_in_dim(x_local, off, mb, axis=1)
+            (h_f, c_f), y_mb = scan_chunk((h, c), x_mb)
+            y_upd = lax.dynamic_update_slice_in_dim(y_local, y_mb, off,
+                                                    axis=1)
+            y_local = jnp.where(active, y_upd, y_local)
+            # last device records the completed microbatch's final state
+            is_last = idx == S - 1
+            mslot = jnp.clip(m, 0, M - 1)
+            fin_h = jnp.where(active & is_last,
+                              lax.dynamic_update_slice_in_dim(
+                                  fin_h, h_f[None], mslot, axis=0), fin_h)
+            fin_c = jnp.where(active & is_last,
+                              lax.dynamic_update_slice_in_dim(
+                                  fin_c, c_f[None], mslot, axis=0), fin_c)
+            # hand the carry to the next device in the time ring
+            perm = [(i, (i + 1) % S) for i in range(S)]
+            h = lax.ppermute(h_f, axis, perm)
+            c = lax.ppermute(c_f, axis, perm)
+            # device 0 starts each microbatch from zero state
+            h = jnp.where(idx == 0, jnp.zeros_like(h), h)
+            c = jnp.where(idx == 0, jnp.zeros_like(c), c)
+
+        # surface the final states from the last device to all
+        fin_h = lax.psum(jnp.where(idx == S - 1, fin_h, 0.0), axis)
+        fin_c = lax.psum(jnp.where(idx == S - 1, fin_c, 0.0), axis)
+        return y_local, fin_h, fin_c
+
+    y, fin_h, fin_c = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(), P()),
+        check_vma=False)(x_seq)
+    final_h = fin_h.reshape((B,) + fin_h.shape[2:])
+    final_c = fin_c.reshape((B,) + fin_c.shape[2:])
+    return y, (final_h, final_c)
