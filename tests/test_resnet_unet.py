@@ -96,11 +96,11 @@ def test_resnet_unet_streaming_matches_full(small_model, rng):
     """Carrying (h, c) frame-by-frame must equal the full-sequence pass —
     the O(T) streaming rollout the reference lacks (test.py:305-316)."""
     cfg, variables = small_model
-    x = jnp.asarray(rng.standard_normal((1, 4, 64, 64, 2), dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 3, 32, 32, 2), dtype=np.float32))
     y_full, _, _ = resnet_unet_apply(variables, x, cfg, train=False)
-    state = resnet_unet_init_state(cfg, 1, 64, 64)
+    state = resnet_unet_init_state(cfg, 1, 32, 32)
     outs = []
-    for t in range(4):
+    for t in range(3):
         y_t, state, _ = resnet_unet_apply(variables, x[:, t:t + 1], cfg,
                                           state=state, train=False)
         outs.append(y_t)
@@ -112,7 +112,7 @@ def test_resnet_unet_streaming_matches_full(small_model, rng):
 
 def test_frozen_encoder_gets_no_gradient(small_model, rng):
     cfg, variables = small_model
-    x = jnp.asarray(rng.standard_normal((1, 1, 64, 64, 2), dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 1, 32, 32, 2), dtype=np.float32))
 
     def loss_fn(params):
         y, _, _ = resnet_unet_apply({"params": params,

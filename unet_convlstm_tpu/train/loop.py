@@ -158,6 +158,11 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             global_step += 1
             if profile_dir and global_step == 20:
                 jax.profiler.stop_trace()
+        if not losses:
+            raise ValueError(
+                f"no train batches: {len(train_idx)} train samples with "
+                f"batch_size {cfg.batch_size} (drop_remainder) — lower the "
+                f"batch size or add data")
         tr_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
         tr = metric_sums_finalize(jax.device_get(sums))
         tr_time = time.time() - t0
