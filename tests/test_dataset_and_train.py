@@ -197,3 +197,17 @@ def test_frozen_mask_zeroes_updates(dataset, mesh):
     updates, _ = tx.update(grads, opt_state, params)
     np.testing.assert_array_equal(np.asarray(updates["encoder"]["w"]), 0.0)
     assert np.all(np.asarray(updates["head"]["w"]) != 0.0)
+
+
+def test_mmap_dataset_matches_inmemory(npz_path):
+    ds_mem = NPZSequenceDataset(npz_path)
+    ds_map = NPZSequenceDataset(npz_path, mmap=True)
+    assert ds_map.X.__class__.__name__ == "memmap"
+    x1, y1 = ds_mem.get_batch_raw(np.array([0, 3]))
+    x2, y2 = ds_map.get_batch_raw(np.array([0, 3]))
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    a, b, c = ds_mem[2]
+    d, e, f = ds_map[2]
+    np.testing.assert_array_equal(a, d)
+    np.testing.assert_array_equal(b, e)

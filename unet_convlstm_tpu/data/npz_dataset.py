@@ -51,17 +51,21 @@ class NPZSequenceDataset:
                  y_transform: str = "asinh",
                  y_transform_scale: Optional[float] = None,
                  y_transform_percentile: Optional[float] = 99,
-                 stats: Optional[NormStats] = None):
-        data = np.load(npz_path)
-        if "X" in data:
-            self.X = data["X"].astype(np.float32)
-            self.Y = data["Y"].astype(np.float32)
-        elif "data" in data:  # moving-mnist layout (digits generator)
-            from .moving_mnist import moving_mnist_to_xy
-            self.X, self.Y = moving_mnist_to_xy(data["data"])
+                 stats: Optional[NormStats] = None,
+                 mmap: bool = False):
+        if mmap:
+            self.X, self.Y = self._mmap_arrays(npz_path)
         else:
-            raise KeyError(f"{npz_path}: expected keys X/Y or data, "
-                           f"found {sorted(data.keys())}")
+            data = np.load(npz_path)
+            if "X" in data:
+                self.X = data["X"].astype(np.float32)
+                self.Y = data["Y"].astype(np.float32)
+            elif "data" in data:  # moving-mnist layout (digits generator)
+                from .moving_mnist import moving_mnist_to_xy
+                self.X, self.Y = moving_mnist_to_xy(data["data"])
+            else:
+                raise KeyError(f"{npz_path}: expected keys X/Y or data, "
+                               f"found {sorted(data.keys())}")
         self.N, self.T = self.X.shape[:2]
         self.H, self.W = self.X.shape[-2:]
 
@@ -84,6 +88,21 @@ class NPZSequenceDataset:
                     json.dump(self.stats.to_dict(), f)
             except OSError:
                 pass  # read-only data dir — stats stay in-memory
+
+    @staticmethod
+    def _mmap_arrays(npz_path: str):
+        """Datasets larger than host RAM: extract X/Y once into raw .npy
+        sidecars and memory-map them (the reference loads the whole npz into
+        RAM, train/unet.py:212-215; at cloud scale that's tens of GB).
+        Pages stream in on demand through the native gather kernel."""
+        x_npy = npz_path + ".X.npy"
+        y_npy = npz_path + ".Y.npy"
+        if not (os.path.exists(x_npy) and os.path.exists(y_npy)):
+            data = np.load(npz_path)
+            np.save(x_npy, data["X"].astype(np.float32))
+            np.save(y_npy, data["Y"].astype(np.float32))
+        return (np.load(x_npy, mmap_mode="r"),
+                np.load(y_npy, mmap_mode="r"))
 
     def __len__(self) -> int:
         return self.N

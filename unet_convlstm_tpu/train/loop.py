@@ -150,14 +150,22 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         n_seen = 0
         for x_raw, y_raw in prefetch_to_device(train_loader, 2, bat_shard):
             if profile_dir and global_step == 10:
-                jax.profiler.start_trace(profile_dir)
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception as e:  # profiling is best-effort
+                    log(f"[profiler] start failed: {e}")
+                    profile_dir = None
             state, loss, s = train_step(state, x_raw, y_raw)
             losses.append(loss * x_raw.shape[0])
             sums = _tree_add(sums, s)
             n_seen += x_raw.shape[0]
             global_step += 1
             if profile_dir and global_step == 20:
-                jax.profiler.stop_trace()
+                try:
+                    jax.profiler.stop_trace()
+                except Exception as e:
+                    log(f"[profiler] stop failed: {e}")
+                profile_dir = None
         if not losses:
             raise ValueError(
                 f"no train batches: {len(train_idx)} train samples with "
