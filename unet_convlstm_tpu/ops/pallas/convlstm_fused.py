@@ -69,6 +69,12 @@ def _bwd_kernel(gates_ref, c_ref, dh_ref, dc_out_ref,
 # Host wrappers
 # ---------------------------------------------------------------------------
 
+def _interpret() -> bool:
+    """Pallas TPU kernels run in interpret mode on non-TPU backends (keeps
+    the code path testable on the CPU mesh)."""
+    return jax.default_backend() != "tpu"
+
+
 def _pad_rows(x, tile):
     n = x.shape[0]
     pad = (-n) % tile
@@ -96,6 +102,7 @@ def _fwd_2d(gates2d, c2d):
             jax.ShapeDtypeStruct(c2d.shape, c2d.dtype),
             jax.ShapeDtypeStruct(c2d.shape, c2d.dtype),
         ],
+        interpret=_interpret(),
     )(gates2d, c2d)
     return h[:n], c_next[:n]
 
@@ -125,6 +132,7 @@ def _bwd_2d(gates2d, c2d, dh2d, dcout2d):
             jax.ShapeDtypeStruct(gates2d.shape, gates2d.dtype),
             jax.ShapeDtypeStruct(c2d.shape, c2d.dtype),
         ],
+        interpret=_interpret(),
     )(gates2d, c2d, dh2d, dcout2d)
     return dgates[:n], dc[:n]
 
