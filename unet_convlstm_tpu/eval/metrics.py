@@ -58,7 +58,10 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
     elo, ehi = err_range
 
     @jax.jit
-    def batch_fn(variables, x_raw, y_raw):
+    def batch_fn(variables, x_raw, y_raw, sample_idx):
+        """``sample_idx``: [budget] flat positions — only these pixels leave
+        the device for the balanced-scatter pool (the reference ships every
+        pixel to host lists, get_metrics.py:157-173)."""
         x = normalize_x(x_raw, stats)
         y = normalize_y(y_raw, stats)
         mask = compute_mask(x_raw, stats)
@@ -85,7 +88,12 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
                                   weights=m)[0]
         err_hist = jnp.histogram(diff, bins=hist_bins, range=(elo, ehi),
                                  weights=m)[0]
-        return sums, t_n, t_abs, gt_hist, pred_hist, err_hist, pred_d, gt_d, m
+        # device-side bounded sampling for the balanced scatter
+        pred_s = jnp.take(pred_d.ravel(), sample_idx)
+        gt_s = jnp.take(gt_d.ravel(), sample_idx)
+        m_s = jnp.take(m.ravel(), sample_idx)
+        return sums, t_n, t_abs, gt_hist, pred_hist, err_hist, \
+            pred_s, gt_s, m_s
 
     return batch_fn
 
@@ -140,22 +148,22 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
     rng = np.random.default_rng(seed)
 
     for x_raw, y_raw in loader:
-        out = batch_fn(variables, jnp.asarray(x_raw), jnp.asarray(y_raw))
-        s, tn, ta, gh, ph, eh, pred_d, gt_d, m = jax.device_get(out)
+        n_px = int(np.prod(y_raw.shape))
+        budget = min(scatter_budget_per_batch, n_px)
+        sample_idx = jnp.asarray(rng.choice(n_px, budget, replace=False))
+        out = batch_fn(variables, jnp.asarray(x_raw), jnp.asarray(y_raw),
+                       sample_idx)
+        s, tn, ta, gh, ph, eh, pred_s, gt_s, m_s = jax.device_get(out)
         sums += s
         t_n += tn
         t_abs += ta
         gt_h += gh
         pr_h += ph
         er_h += eh
-        # bounded host pull for the balanced scatter
-        valid = np.flatnonzero(m.ravel() > 0)
-        if len(valid):
-            take = min(len(valid), scatter_budget_per_batch)
-            sel = (valid if take == len(valid)
-                   else rng.choice(valid, take, replace=False))
-            sc_gt.append(gt_d.ravel()[sel])
-            sc_pred.append(pred_d.ravel()[sel])
+        keep = m_s > 0
+        if keep.any():
+            sc_gt.append(gt_s[keep])
+            sc_pred.append(pred_s[keep])
 
     n = max(sums[0], 1e-12)
     mae = sums[1] / n
