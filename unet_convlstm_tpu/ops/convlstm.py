@@ -56,6 +56,14 @@ def _gate_update(gates: jax.Array, c: jax.Array, hidden_dim: int,
     return h_next, c_next
 
 
+def _h_dtype(policy: Policy):
+    """h is re-quantized by the gate conv next step anyway, so it lives in
+    the compute dtype (halves the scanned-output HBM traffic — the step is
+    bandwidth-bound); c carries error across T steps and stays in the
+    accumulation dtype."""
+    return policy.compute_dtype
+
+
 def convlstm_cell_step(params, x: jax.Array, carry: Carry,
                        policy: Policy = DEFAULT_POLICY,
                        use_pallas: bool = False) -> Tuple[jax.Array, Carry]:
@@ -68,6 +76,7 @@ def convlstm_cell_step(params, x: jax.Array, carry: Carry,
     # [B,H,W,4*hidden] — upcast to f32 (fused into the conv epilogue) so the
     # recurrence update runs in full precision.
     h_next, c_next = _gate_update(gates, c, hidden_dim, use_pallas)
+    h_next = h_next.astype(_h_dtype(policy))
     return h_next, (h_next, c_next)
 
 
@@ -105,10 +114,15 @@ def convlstm(params, x_seq: jax.Array,
     if hidden_dim is None:
         hidden_dim = params["layer0"]["conv"]["w"].shape[-1] // 4
     if state is None:
-        # Carry lives in the accumulation dtype (f32) regardless of the
-        # compute dtype — recurrence drift in bf16 compounds over T steps.
-        state = [convlstm_zero_state(B, H, W, hidden_dim, policy.accum_dtype)
+        # h in the compute dtype (bandwidth), c in the accumulation dtype
+        # (f32 — recurrence drift in bf16 compounds over T steps).
+        state = [(jnp.zeros((B, H, W, hidden_dim), _h_dtype(policy)),
+                  jnp.zeros((B, H, W, hidden_dim), policy.accum_dtype))
                  for _ in range(num_layers)]
+    else:
+        # coerce externally-provided carries to the scan's dtypes
+        state = [(h.astype(_h_dtype(policy)),
+                  c.astype(policy.accum_dtype)) for h, c in state]
 
     out = x_seq
     new_states: List[Carry] = []
