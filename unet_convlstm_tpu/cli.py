@@ -201,6 +201,38 @@ def cmd_stats(args):
     print(json.dumps(stats, indent=2))
 
 
+def cmd_convert_checkpoint(args):
+    """Migrate a reference torch checkpoint ({model_state, config, ...},
+    reference main.py:307-323) into this framework's checkpoint format."""
+    import torch
+
+    from .train.checkpoint import save_checkpoint
+    from .utils.torch_weights import (
+        convert_pretrained_temporal_unet_checkpoint,
+        convert_temporal_unet_checkpoint,
+    )
+
+    ckpt = torch.load(args.torch_ckpt, map_location="cpu",
+                      weights_only=False)
+    sd = ckpt.get("model_state", ckpt)
+    cfg = ckpt.get("config", {"type": args.model_type})
+    model_type = cfg.get("type", args.model_type)
+    if model_type == "custom":
+        variables = convert_temporal_unet_checkpoint(sd)
+    elif model_type == "resnet18":
+        variables = convert_pretrained_temporal_unet_checkpoint(sd)
+    else:
+        raise SystemExit(f"unknown model type {model_type!r}")
+    state = {"params": variables["params"], "stats": variables["stats"]}
+    meta = {"config": dict(cfg),
+            "val_loss": float(ckpt.get("val_loss", float("nan"))),
+            "epoch": int(ckpt.get("epoch", 0)),
+            "converted_from": os.path.abspath(args.torch_ckpt)}
+    path = save_checkpoint(args.out_dir, f"{model_type}_converted", state,
+                           meta, wait=True)
+    print(f"converted {args.torch_ckpt} -> {path}")
+
+
 def cmd_bench(_args):
     import runpy
 
@@ -315,6 +347,15 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--key", default="Y")
     st.add_argument("--out-dir", default=None)
     st.set_defaults(fn=cmd_stats)
+
+    cc = sub.add_parser("convert-checkpoint",
+                        help="migrate a reference torch .pt checkpoint")
+    cc.add_argument("--torch-ckpt", required=True)
+    cc.add_argument("--out-dir", default="checkpoints")
+    cc.add_argument("--model-type", choices=["custom", "resnet18"],
+                    default="custom",
+                    help="fallback when the .pt has no embedded config")
+    cc.set_defaults(fn=cmd_convert_checkpoint)
 
     b = sub.add_parser("bench", help="frames/sec benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -53,7 +53,9 @@ def convert_resnet18_state_dict(sd: Dict[str, Any],
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    w1 = _adapt_first_conv(arr("conv1.weight"), in_channels)
+    w1 = arr("conv1.weight")
+    if in_channels is not None:  # None → keep the checkpoint's channels
+        w1 = _adapt_first_conv(w1, in_channels)
     params["conv1"] = {"w": _oihw_to_hwio(w1)}
     params["bn1"], stats["bn1"] = bn("bn1")
 
@@ -73,6 +75,134 @@ def convert_resnet18_state_dict(sd: Dict[str, Any],
                     "w": _oihw_to_hwio(arr(f"{src}.downsample.0.weight"))}
                 p["down_bn"], s["down_bn"] = bn(f"{src}.downsample.1")
             params[dst], stats[dst] = p, s
+    return {"params": params, "stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Reference-checkpoint conversion (switch-over path for reference users)
+# ---------------------------------------------------------------------------
+
+def _conv_entry(sd, arr, prefix) -> Dict[str, Any]:
+    out = {"w": _oihw_to_hwio(arr(f"{prefix}.weight"))}
+    if f"{prefix}.bias" in sd:
+        out["b"] = arr(f"{prefix}.bias")
+    return out
+
+
+def _make_arr(sd):
+    def arr(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v, np.float32)
+    return arr
+
+
+def _double_conv_entry(sd, arr, prefix):
+    """torch DoubleConv ``<prefix>.net.{0,1,3,4}`` (conv,bn,conv,bn —
+    reference train/unet.py:66-75) → our {conv1,bn1,conv2,bn2}."""
+    params = {"conv1": _conv_entry(sd, arr, f"{prefix}.net.0"),
+              "conv2": _conv_entry(sd, arr, f"{prefix}.net.3"),
+              "bn1": {"scale": arr(f"{prefix}.net.1.weight"),
+                      "bias": arr(f"{prefix}.net.1.bias")},
+              "bn2": {"scale": arr(f"{prefix}.net.4.weight"),
+                      "bias": arr(f"{prefix}.net.4.bias")}}
+    stats = {"bn1": {"mean": arr(f"{prefix}.net.1.running_mean"),
+                     "var": arr(f"{prefix}.net.1.running_var")},
+             "bn2": {"mean": arr(f"{prefix}.net.4.running_mean"),
+                     "var": arr(f"{prefix}.net.4.running_var")}}
+    return params, stats
+
+
+def _convlstm_entry(sd, arr, prefix):
+    """torch ConvLSTM ``<prefix>.layers.{l}.conv`` (reference
+    train/unet.py:39-44) → our {layer{l}: {conv}}."""
+    params = {}
+    l = 0
+    while f"{prefix}.layers.{l}.conv.weight" in sd:
+        params[f"layer{l}"] = {
+            "conv": _conv_entry(sd, arr, f"{prefix}.layers.{l}.conv")}
+        l += 1
+    return params
+
+
+def convert_temporal_unet_checkpoint(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference TemporalUNetDualView ``model_state`` (the dict torch.save'd
+    at reference main.py:307-323 / overfit_check.py:121-130) → our
+    {'params', 'stats'} variables, ready for ``temporal_unet_apply``.
+
+    Layer map (reference train/unet.py:131-159): inc/down1..3/bottleneck
+    DoubleConvs (Down prefixes its DoubleConv with ``net.1``), ``temporal``
+    ConvLSTM stack, optional ``lstm_skip3``/``lstm_skip2`` and
+    ``attention.conv``, decoder ``up3..up0`` (ConvTranspose ``up`` + concat
+    DoubleConv ``conv``), ``outc.conv`` head.
+    """
+    arr = _make_arr(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["inc"], stats["inc"] = _double_conv_entry(sd, arr, "inc")
+    for name in ("down1", "down2", "down3", "bottleneck"):
+        params[name], stats[name] = _double_conv_entry(sd, arr,
+                                                       f"{name}.net.1")
+    params["temporal"] = _convlstm_entry(sd, arr, "temporal")
+    if "lstm_skip3.layers.0.conv.weight" in sd:
+        params["skip3"] = _convlstm_entry(sd, arr, "lstm_skip3")
+        params["skip2"] = _convlstm_entry(sd, arr, "lstm_skip2")
+    if "attention.conv.weight" in sd:
+        params["attention"] = {"w": _oihw_to_hwio(arr("attention.conv.weight"))}
+
+    for name in ("up3", "up2", "up1", "up0"):
+        w_t = arr(f"{name}.up.weight")  # torch ConvTranspose: (in,out,kh,kw)
+        up_p = {"w": np.ascontiguousarray(np.transpose(w_t, (2, 3, 1, 0)))}
+        if f"{name}.up.bias" in sd:
+            up_p["b"] = arr(f"{name}.up.bias")
+        dc_p, dc_s = _double_conv_entry(sd, arr, f"{name}.conv")
+        params[name] = {"up": up_p, "conv": dc_p}
+        stats[name] = {"conv": dc_s}
+    params["outc"] = _conv_entry(sd, arr, "outc.conv")
+    return {"params": params, "stats": stats}
+
+
+def convert_pretrained_temporal_unet_checkpoint(sd: Dict[str, Any]
+                                                ) -> Dict[str, Any]:
+    """Reference PretrainedTemporalUNet ``model_state`` → our resnet_unet
+    variables. Maps: smp ResNet18 encoder (``encoder.*`` torchvision
+    names), smp UnetDecoder (``decoder.blocks.{i}.conv{1,2}.{0,1}``),
+    ``segmentation_head.0``, ``lstm.layers.*`` bottleneck ConvLSTM and
+    ``lstm_skips.{i}.layers.*`` — the reference builds one skip-LSTM per
+    encoder feature INCLUDING the stage-0 identity whose output its decoder
+    discards (reference train/resnet18.py:64-74; SURVEY.md #6), so
+    ``lstm_skips.{i+1}`` maps to our ``skip{i}``."""
+    arr = _make_arr(sd)
+    enc_sd = {k[len("encoder."):]: sd[k] for k in sd
+              if k.startswith("encoder.")}
+    conv = convert_resnet18_state_dict(enc_sd, in_channels=None)
+    params: Dict[str, Any] = {"encoder": conv["params"]}
+    stats: Dict[str, Any] = {"encoder": conv["stats"]}
+
+    dec_p: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+    for i in range(5):
+        pre = f"decoder.blocks.{i}"
+        p = {"conv1": _conv_entry(sd, arr, f"{pre}.conv1.0"),
+             "conv2": _conv_entry(sd, arr, f"{pre}.conv2.0"),
+             "bn1": {"scale": arr(f"{pre}.conv1.1.weight"),
+                     "bias": arr(f"{pre}.conv1.1.bias")},
+             "bn2": {"scale": arr(f"{pre}.conv2.1.weight"),
+                     "bias": arr(f"{pre}.conv2.1.bias")}}
+        s = {"bn1": {"mean": arr(f"{pre}.conv1.1.running_mean"),
+                     "var": arr(f"{pre}.conv1.1.running_var")},
+             "bn2": {"mean": arr(f"{pre}.conv2.1.running_mean"),
+                     "var": arr(f"{pre}.conv2.1.running_var")}}
+        dec_p[f"block{i}"], dec_s[f"block{i}"] = p, s
+    dec_p["head"] = _conv_entry(sd, arr, "segmentation_head.0")
+    params["decoder"], stats["decoder"] = dec_p, dec_s
+
+    params["temporal"] = _convlstm_entry(sd, arr, "lstm")
+    # lstm_skips.0 acts on the identity feature the decoder drops — skip it
+    for i in range(4):
+        src = i + 1 if f"lstm_skips.{i + 1}.layers.0.conv.weight" in sd else i
+        params[f"skip{i}"] = _convlstm_entry(sd, arr, f"lstm_skips.{src}")
     return {"params": params, "stats": stats}
 
 
