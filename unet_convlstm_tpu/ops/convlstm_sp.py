@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.dtypes import Policy, DEFAULT_POLICY
-from .convlstm import convlstm_cell_step
+from .convlstm import _h_dtype, convlstm_cell_step
 
 
 def convlstm_time_pipelined(params, x_seq: jax.Array, mesh: Mesh,
@@ -57,11 +57,12 @@ def convlstm_time_pipelined(params, x_seq: jax.Array, mesh: Mesh,
         idx = lax.axis_index(axis)
         spatial = x_local.shape[2:4]
         carry_shape = (mb,) + spatial + (hidden,)
-        h = jnp.zeros(carry_shape, jnp.float32)
+        h = jnp.zeros(carry_shape, _h_dtype(policy))
         c = jnp.zeros(carry_shape, jnp.float32)
-        y_local = jnp.zeros(x_local.shape[:-1] + (hidden,), jnp.float32)
+        y_local = jnp.zeros(x_local.shape[:-1] + (hidden,),
+                            _h_dtype(policy))
         # final (h, c) per microbatch, filled only on the last device
-        fin_h = jnp.zeros((M,) + carry_shape, jnp.float32)
+        fin_h = jnp.zeros((M,) + carry_shape, _h_dtype(policy))
         fin_c = jnp.zeros((M,) + carry_shape, jnp.float32)
 
         def scan_chunk(carry, x_chunk_mb):
