@@ -85,9 +85,13 @@ def cmd_evaluate(args):
     indices = None
     if args.split == "all":
         indices = np.arange(len(dataset))
+    # replay the TRAINING split exactly (its seed/frac live in the config)
+    train_cfg = meta.get("config", {})
     report = evaluate_model(apply_fn, variables, dataset, indices=indices,
                             batch_size=args.batch_size,
-                            use_mask=args.use_mask)
+                            use_mask=args.use_mask,
+                            train_frac=train_cfg.get("train_frac", 0.8),
+                            split_seed=train_cfg.get("split_seed", 42))
     print(f"MAE={report.mae:.4f}  RMSE={report.rmse:.4f}  "
           f"bias={report.bias:+.4f}  err_std={report.err_std:.4f} [m/s]")
     os.makedirs(args.out_dir, exist_ok=True)

@@ -70,24 +70,34 @@ class NPZSequenceDataset:
         self.H, self.W = self.X.shape[-2:]
 
         manifest_path = npz_path + ".stats.json"
+        norm_args = {"min_y": min_y, "max_y": max_y,
+                     "lower_percentile": lower_percentile,
+                     "upper_percentile": upper_percentile,
+                     "clip_outliers": clip_outliers,
+                     "y_transform": y_transform,
+                     "y_transform_scale": y_transform_scale,
+                     "y_transform_percentile": y_transform_percentile}
         if stats is not None:
             self.stats = stats
-        elif os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                self.stats = NormStats.from_dict(json.load(f))
         else:
-            self.stats = compute_norm_stats(
-                self.X, self.Y, min_y=min_y, max_y=max_y,
-                lower_percentile=lower_percentile,
-                upper_percentile=upper_percentile,
-                clip_outliers=clip_outliers, y_transform=y_transform,
-                y_transform_scale=y_transform_scale,
-                y_transform_percentile=y_transform_percentile)
-            try:
-                with open(manifest_path, "w") as f:
-                    json.dump(self.stats.to_dict(), f)
-            except OSError:
-                pass  # read-only data dir — stats stay in-memory
+            cached = None
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+                # a cached manifest is only valid for the SAME normalization
+                # settings — changed args must recompute, not silently win
+                if manifest.get("args") == norm_args:
+                    cached = NormStats.from_dict(manifest["stats"])
+            if cached is not None:
+                self.stats = cached
+            else:
+                self.stats = compute_norm_stats(self.X, self.Y, **norm_args)
+                try:
+                    with open(manifest_path, "w") as f:
+                        json.dump({"args": norm_args,
+                                   "stats": self.stats.to_dict()}, f)
+                except OSError:
+                    pass  # read-only data dir — stats stay in-memory
 
     @staticmethod
     def _mmap_arrays(npz_path: str):

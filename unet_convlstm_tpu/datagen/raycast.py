@@ -91,18 +91,6 @@ def make_rays(cam_pos, look_at, resolution=(128, 128), fov: float = 0.25):
     return rays_o, rays_d
 
 
-def _gather_uvw(grid: VolumeGrid, points):
-    """Nearest-voxel gather of (u, v, w) at world points [..., 3]."""
-    nz, ny, nx = grid.shape
-    gi = ((points - jnp.asarray(grid.min_bound)) / grid.voxel_size)
-    gi = gi.astype(jnp.int32)  # truncation, as the reference
-    gx = jnp.clip(gi[..., 0], 0, nx - 1)
-    gy = jnp.clip(gi[..., 1], 0, ny - 1)
-    gz = jnp.clip(gi[..., 2], 0, nz - 1)
-    return (grid.u[gz, gy, gx], grid.v[gz, gy, gx], grid.w[gz, gy, gx],
-            (gz, gy, gx))
-
-
 @partial(jax.jit, static_argnames=("resolution", "step_size", "fov",
                                    "max_steps"))
 def _first_hit_impl(beta, u, v, w, voxel_size, min_bound, max_bound,

@@ -44,19 +44,21 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
     """
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
-    folders = sorted(f for f in os.listdir(input_root)
-                     if os.path.isdir(os.path.join(input_root, f))
-                     and f.isdigit())
-    if start is not None:
-        folders = [f for f in folders if int(f) >= start]
-    if end is not None:
-        folders = [f for f in folders if int(f) <= end]
+    all_folders = sorted(f for f in os.listdir(input_root)
+                         if os.path.isdir(os.path.join(input_root, f))
+                         and f.isdigit())
+    # the cyclic time assignment is indexed by the folder's position in the
+    # FULL list, so bounded/resumed runs render with the same geometry as a
+    # full run (reference render_all.py:80-90 keeps original_start_idx)
+    folders = [(i, f) for i, f in enumerate(all_folders)
+               if (start is None or int(f) >= start)
+               and (end is None or int(f) <= end)]
     log(f"[render] {len(folders)} folders × views; res={resolution}")
 
     written = 0
     pool = ThreadPoolExecutor(max_workers=1)  # IO prefetch (render_all:146)
     try:
-        for folder_idx, folder in enumerate(folders):
+        for folder_idx, folder in folders:
             t = times[folder_idx % len(times)]
             views = schedule[t]
             sun = sun_direction(views[0].sun_zenith, views[0].sun_azimuth)

@@ -59,18 +59,19 @@ def build_velocity_maps(input_root: str, output_root: str, csv_path: str,
     of map pkls written."""
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
-    folders = sorted(f for f in os.listdir(input_root)
-                     if os.path.isdir(os.path.join(input_root, f))
-                     and f.isdigit())
-    if start is not None:
-        folders = [f for f in folders if int(f) >= start]
-    if end is not None:
-        folders = [f for f in folders if int(f) <= end]
+    all_folders = sorted(f for f in os.listdir(input_root)
+                         if os.path.isdir(os.path.join(input_root, f))
+                         and f.isdigit())
+    # time assignment by position in the FULL list so bounded/resumed runs
+    # match full runs (see render_batch.py; reference render_all.py:80-90)
+    folders = [(i, f) for i, f in enumerate(all_folders)
+               if (start is None or int(f) >= start)
+               and (end is None or int(f) <= end)]
     log(f"[velocity_maps] {len(folders)} folders, {len(times)} CSV times, "
         f"mode={mode}")
 
     written = 0
-    for folder_idx, folder in enumerate(folders):
+    for folder_idx, folder in folders:
         t = times[folder_idx % len(times)]
         views = schedule[t]
         in_dir = os.path.join(input_root, folder)

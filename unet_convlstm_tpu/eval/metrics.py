@@ -127,11 +127,14 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
                    hist_bins: int = 100, hist_range=(-10.0, 10.0),
                    err_range=(-5.0, 5.0),
                    scatter_budget_per_batch: int = 65536,
-                   seed: int = 0) -> EvalReport:
+                   seed: int = 0, train_frac: float = 0.8,
+                   split_seed: int = 42) -> EvalReport:
     """Full evaluation pass over ``indices`` (default: the val split replayed
-    exactly as during training — reference get_metrics.py:100-106)."""
+    exactly as during training — reference get_metrics.py:100-106; pass the
+    training config's train_frac/split_seed when they differ from the
+    defaults, or train samples leak into the 'val' metrics)."""
     if indices is None:
-        _, indices = dataset.train_val_split()
+        _, indices = dataset.train_val_split(train_frac, split_seed)
     stats = dataset.stats
     batch_fn = _make_eval_batch_fn(apply_fn, stats, use_mask,
                                    hist_range, hist_bins, err_range)

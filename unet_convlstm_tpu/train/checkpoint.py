@@ -67,8 +67,11 @@ def restore_checkpoint(path: str,
     _checkpointer().wait_until_finished()
     ckptr = ocp.StandardCheckpointer()
     if state_template is not None:
+        # read metadata only — np.asarray would device-transfer every leaf
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x), getattr(x, "dtype", None)
+                or np.asarray(x).dtype),
             state_template)
         state = ckptr.restore(os.path.join(path, "state"), target=abstract)
     else:

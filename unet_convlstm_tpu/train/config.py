@@ -53,7 +53,9 @@ class TrainConfig:
         return cls(**{k: v for k, v in d.items() if k in names})
 
     def apply_overrides(self, overrides: Dict[str, str]) -> "TrainConfig":
-        """Apply 'key=value' CLI overrides ('model.base_ch=32' supported)."""
+        """Apply 'key=value' CLI overrides ('model.base_ch=32' supported).
+        Coerces by the current value's type; None-defaulted fields
+        (mesh_data, min_y, ...) parse as int/float/bool/None literals."""
         d = self.to_dict()
         for key, val in overrides.items():
             tgt = d
@@ -67,6 +69,17 @@ class TrainConfig:
                 tgt[parts[-1]] = int(val)
             elif isinstance(old, float):
                 tgt[parts[-1]] = float(val)
+            elif old is None:
+                if val.lower() in ("none", "null"):
+                    tgt[parts[-1]] = None
+                else:
+                    try:
+                        tgt[parts[-1]] = int(val)
+                    except ValueError:
+                        try:
+                            tgt[parts[-1]] = float(val)
+                        except ValueError:
+                            tgt[parts[-1]] = val
             else:
                 tgt[parts[-1]] = val
         return TrainConfig.from_dict(d)

@@ -57,8 +57,13 @@ def _append_history_csv(ckpt_dir: str, row: Dict[str, Any]) -> None:
 
 def _trainable_mask(params: Dict[str, Any], model_cfg: Dict[str, Any]):
     """Frozen-encoder filter (reference main.py:257-261 trains only
-    requires_grad params; resnet18.py:41-44 freezes the encoder)."""
-    if not model_cfg.get("freeze_encoder", False):
+    requires_grad params; resnet18.py:41-44 freezes the encoder).
+
+    The default must mirror the registry's (freeze_encoder=True for
+    resnet18) — otherwise AdamW weight decay would still shrink the
+    zero-gradient encoder weights every step."""
+    default_freeze = model_cfg.get("type") == "resnet18"
+    if not model_cfg.get("freeze_encoder", default_freeze):
         return None
     return {k: jax.tree_util.tree_map(lambda _: k != "encoder", v)
             for k, v in params.items()}
@@ -82,6 +87,10 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                                                  cfg.split_seed)
     log(f"Dataset: N={len(dataset)} T={dataset.T} {dataset.H}x{dataset.W} "
         f"-> train {len(train_idx)} / val {len(val_idx)}")
+    if len(val_idx) == 0:
+        raise ValueError(
+            f"empty validation split (train_frac={cfg.train_frac}, "
+            f"N={len(dataset)}) — lower train_frac or add data")
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
     n_data = mesh.shape["data"]

@@ -79,14 +79,17 @@ def run_overfit_test(npz_path_or_ds, model_cfg: Optional[Dict[str, Any]] = None,
         return ({"params": new_params, "stats": new_bn,
                  "opt_state": new_opt}, loss)
 
-    @jax.jit
-    def run_chunk(state):
-        return jax.lax.scan(one_step, state, None, length=chunk)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_chunk(state, length):
+        return jax.lax.scan(one_step, state, None, length=length)
 
     iters_done, final_loss, converged = 0, float("inf"), False
     while iters_done < max_iters:
-        state, losses = run_chunk(state)
-        iters_done += chunk
+        length = min(chunk, max_iters - iters_done)  # never overshoot
+        state, losses = run_chunk(state, length)
+        iters_done += length
         final_loss = float(losses[-1])
         log(f"iter {iters_done:04d} | loss {final_loss:.6f}")
         if final_loss < target_loss:

@@ -199,10 +199,13 @@ def convert_pretrained_temporal_unet_checkpoint(sd: Dict[str, Any]
     params["decoder"], stats["decoder"] = dec_p, dec_s
 
     params["temporal"] = _convlstm_entry(sd, arr, "lstm")
-    # lstm_skips.0 acts on the identity feature the decoder drops — skip it
+    # Decide the skip-LSTM index offset ONCE: 5 entries means lstm_skips.0
+    # acted on the identity feature the smp decoder drops (skip it); 4
+    # entries map one-to-one.
+    offset = 1 if f"lstm_skips.4.layers.0.conv.weight" in sd else 0
     for i in range(4):
-        src = i + 1 if f"lstm_skips.{i + 1}.layers.0.conv.weight" in sd else i
-        params[f"skip{i}"] = _convlstm_entry(sd, arr, f"lstm_skips.{src}")
+        params[f"skip{i}"] = _convlstm_entry(sd, arr,
+                                             f"lstm_skips.{i + offset}")
     return {"params": params, "stats": stats}
 
 
