@@ -211,3 +211,25 @@ def test_mmap_dataset_matches_inmemory(npz_path):
     d, e, f = ds_map[2]
     np.testing.assert_array_equal(a, d)
     np.testing.assert_array_equal(b, e)
+
+
+def test_manifest_ignored_when_norm_args_change(npz_path, tmp_path):
+    """Regression: a cached stats manifest must not override changed
+    normalization arguments."""
+    import shutil
+    p = str(tmp_path / "copy.npz")
+    shutil.copy(npz_path, p)
+    ds1 = NPZSequenceDataset(p)                      # writes manifest
+    ds2 = NPZSequenceDataset(p, min_y=-2.0, max_y=2.0)
+    assert ds2.stats.min_vel == -2.0 and ds2.stats.max_vel == 2.0
+    ds3 = NPZSequenceDataset(p)                      # defaults again
+    assert ds3.stats.min_vel == ds1.stats.min_vel
+
+
+def test_override_none_fields():
+    from unet_convlstm_tpu.train.config import TrainConfig
+    cfg = TrainConfig().apply_overrides({"mesh_data": "4", "min_y": "-2.5",
+                                         "max_y": "none"})
+    assert cfg.mesh_data == 4 and isinstance(cfg.mesh_data, int)
+    assert cfg.min_y == -2.5
+    assert cfg.max_y is None

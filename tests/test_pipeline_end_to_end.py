@@ -97,3 +97,26 @@ def test_stage_d_and_training(pipeline):
                             indices=np.arange(len(ds)), batch_size=2,
                             use_mask=False)
     assert np.isfinite(report.mae) and report.n_pixels > 0
+
+
+def test_bounded_rerun_assigns_same_times(pipeline, tmp_path):
+    """Regression: gen-maps with --start must use the same cyclic timestamp
+    per folder as a full run (reference render_all.py:80-90 semantics)."""
+    import re
+    root, patches, csv, n_folders, n_samples, _ = pipeline
+    full_dir = tmp_path / "maps_full"
+    part_dir = tmp_path / "maps_part"
+    build_velocity_maps(patches, str(full_dir), csv, mode="slice",
+                        resolution=(8, 8), slice_height_m=100.0,
+                        reference_plane_z=80.0, fov=0.06, verbose=False)
+    folders = sorted(os.listdir(full_dir))
+    start_num = int(folders[1])
+    build_velocity_maps(patches, str(part_dir), csv, mode="slice",
+                        resolution=(8, 8), slice_height_m=100.0,
+                        reference_plane_z=80.0, fov=0.06,
+                        start=start_num, verbose=False)
+    def times_of(d):
+        return sorted({re.search(r"_time_(\d+)_", f).group(1)
+                       for f in os.listdir(d)})
+    for f in sorted(os.listdir(part_dir)):
+        assert times_of(full_dir / f) == times_of(part_dir / f)

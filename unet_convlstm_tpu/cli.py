@@ -143,7 +143,8 @@ def cmd_overfit(args):
                            checkpoint_dir=args.out_dir)
     status = "SUCCESS" if res["converged"] else "DID NOT CONVERGE"
     print(f"[{status}] loss={res['final_loss']:.6f} after "
-          f"{res['iters']} iters on indices {sorted(res['indices'])}")
+          f"{res['iters']} iters on indices "
+          f"{sorted(int(i) for i in res['indices'])}")
     sys.exit(0 if res["converged"] else 1)
 
 

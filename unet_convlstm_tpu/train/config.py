@@ -60,6 +60,13 @@ class TrainConfig:
         for key, val in overrides.items():
             tgt = d
             parts = key.split(".")
+            # typo'd top-level keys must fail loudly, not train with the
+            # override silently ignored ('model.*' stays open-ended — model
+            # configs are type-specific dicts)
+            if parts[0] not in d:
+                raise KeyError(
+                    f"unknown config key {parts[0]!r} in override {key!r}; "
+                    f"valid keys: {sorted(d)}")
             for p in parts[:-1]:
                 tgt = tgt[p]
             old = tgt.get(parts[-1])
