@@ -233,3 +233,30 @@ def test_override_none_fields():
     assert cfg.mesh_data == 4 and isinstance(cfg.mesh_data, int)
     assert cfg.min_y == -2.5
     assert cfg.max_y is None
+
+
+def test_grain_loader_covers_all_indices(dataset):
+    pytest.importorskip("grain")
+    from unet_convlstm_tpu.data.pipeline import make_grain_loader
+    it = make_grain_loader(dataset, np.arange(len(dataset)), batch_size=5,
+                           shuffle=True, seed=0)
+    seen = 0
+    for x, y in it:
+        assert x.shape[1:] == (dataset.T, dataset.H, dataset.W, 2)
+        assert y.shape[1:] == (dataset.T, dataset.H, dataset.W, 1)
+        seen += x.shape[0]
+    assert seen == len(dataset)
+
+
+def test_tensorboard_logging(tmp_path, npz_path):
+    pytest.importorskip("torch.utils.tensorboard")
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+    ds = NPZSequenceDataset(npz_path)
+    cfg = TrainConfig(batch_size=8, epochs=1, checkpoint_dir="",
+                      tensorboard_dir=str(tmp_path / "tb"),
+                      model={"type": "custom", "base_ch": 4,
+                             "use_skip_lstm": False, "lstm_layers": 1})
+    fit(cfg, dataset=ds, verbose=False)
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0

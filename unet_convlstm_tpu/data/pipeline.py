@@ -93,3 +93,47 @@ def prefetch_to_device(iterator, size: int = 2,
         yield queue.popleft()
         for batch in itertools.islice(it, 1):
             queue.append(_put(batch))
+
+
+def make_grain_loader(dataset, indices: np.ndarray, batch_size: int,
+                      shuffle: bool = True, seed: int = 0,
+                      worker_count: int = 0, num_epochs: int = 1):
+    """Grain-backed loader (the production input pipeline SURVEY.md §7
+    calls for): multi-worker sample fetch + batching over the dataset's raw
+    arrays, yielding the same NHWC (x, y) batches as SequenceLoader.
+
+    worker_count > 0 moves sample gather into child processes — useful on
+    many-core hosts feeding fast chips; 0 stays in-process.
+    """
+    import grain.python as grain
+
+    indices = np.asarray(indices)
+
+    class _Source:
+        def __len__(self):
+            return len(indices)
+
+        def __getitem__(self, i):
+            x, y = dataset.get_batch_raw(indices[i:i + 1])
+            return {"x": x[0], "y": y[0]}
+
+    sampler = grain.IndexSampler(
+        num_records=len(indices),
+        shuffle=shuffle,
+        seed=seed,
+        shard_options=grain.NoSharding(),
+        num_epochs=num_epochs,
+    )
+    loader = grain.DataLoader(
+        data_source=_Source(),
+        sampler=sampler,
+        operations=[grain.Batch(batch_size=batch_size,
+                                drop_remainder=False)],
+        worker_count=worker_count,
+    )
+
+    def _iter():
+        for rec in loader:
+            yield rec["x"], rec["y"]
+
+    return _iter()

@@ -42,6 +42,7 @@ class TrainConfig:
     mesh_data: Optional[int] = None   # None → all devices
     mesh_model: int = 1
     checkpoint_dir: str = "checkpoints"
+    tensorboard_dir: str = ""     # optional TB scalar logging
     log_every: int = 50
 
     def to_dict(self) -> Dict[str, Any]:

@@ -147,6 +147,15 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     val_loader = SequenceLoader(dataset, val_idx, cfg.batch_size,
                                 shuffle=False)
 
+    tb_writer = None
+    if cfg.tensorboard_dir:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(cfg.tensorboard_dir)
+        except Exception as e:  # logging is best-effort
+            log(f"[tensorboard] unavailable: {e}")
+
     model_name = cfg.model.get("type", "custom")
     history = []
     n_epochs = epochs if epochs is not None else cfg.epochs
@@ -210,6 +219,11 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         history.append(row)
         if cfg.checkpoint_dir:
             _append_history_csv(cfg.checkpoint_dir, row)
+        if tb_writer is not None:
+            for k, v in row.items():
+                if k != "epoch":
+                    tb_writer.add_scalar(k, v, epoch)
+            tb_writer.flush()
         log(f"Epoch {epoch}/{n_epochs}: "
             f"Train Loss={tr_loss:.4f} MAE={tr['mae']:.4f} "
             f"RMSE={tr['rmse']:.4f} ME={tr['me']:.4f} | "
@@ -234,6 +248,8 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             {"config": cfg.to_dict(), "val_loss": best_val,
              "epoch": n_epochs, "norm_stats": dataset.stats.to_dict(),
              "scheduler": scheduler.state_dict()}, wait=True)
+    if tb_writer is not None:
+        tb_writer.close()
 
     return {"state": state, "history": history, "best_val_loss": best_val,
             "mesh": mesh, "apply_fn": apply_fn, "dataset": dataset}
