@@ -144,3 +144,28 @@ def test_legacy_viewer(tmp_path, rng):
     assert len(ds) == 3
     out = animate_sequence(ds, 0, str(tmp_path / "legacy.mp4"))
     assert os.path.getsize(out) > 5000
+
+
+def test_dashboard3d_video(tmp_path, rng):
+    import pickle
+    from unet_convlstm_tpu.datagen.overpass import synthesize_overpass_csv
+    from unet_convlstm_tpu.viz.dashboard3d import create_dashboard_3d
+    csv = synthesize_overpass_csv(str(tmp_path / "op.csv"), n_times=2,
+                                  n_satellites=2)
+    for k in range(2):
+        di = tmp_path / "img" / f"{100 + k}"
+        dm = tmp_path / "map" / f"{100 + k}"
+        di.mkdir(parents=True), dm.mkdir(parents=True)
+        with open(di / f"sample_000_time_{k}_view_0.pkl", "wb") as f:
+            pickle.dump({"render": rng.random((16, 16)).astype(np.float32)},
+                        f)
+        maps = {f"{c}_map": rng.standard_normal((16, 16)).astype(np.float32)
+                for c in "uvw"}
+        with open(dm / f"sample_000_time_{k}_view_0_slice_1000m.pkl",
+                  "wb") as f:
+            pickle.dump(maps, f)
+    out = str(tmp_path / "dash.mp4")
+    n = create_dashboard_3d(str(tmp_path / "img"), str(tmp_path / "map"),
+                            csv, sample_idx=0, out_path=out, verbose=False)
+    assert n == 2
+    assert os.path.getsize(out) > 5000
