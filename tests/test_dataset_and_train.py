@@ -260,3 +260,48 @@ def test_tensorboard_logging(tmp_path, npz_path):
     fit(cfg, dataset=ds, verbose=False)
     events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
+
+
+def test_multi_step_matches_single_steps(dataset, mesh, tiny_model):
+    """K fused steps must produce the same state/losses as K single steps."""
+    from unet_convlstm_tpu.train.steps import make_multi_train_step
+    _, variables, apply_fn = tiny_model
+    x_raw, y_raw = dataset.get_batch_raw(np.arange(8))
+    K = 3
+    xs = np.stack([x_raw] * K)
+    ys = np.stack([y_raw] * K)
+
+    def fresh_state(tx):
+        v = jax.tree_util.tree_map(jnp.copy, variables)
+        return {"params": v["params"], "stats": v["stats"],
+                "opt_state": tx.init(v["params"])}
+
+    tx = make_optimizer(1e-2)
+    single = make_train_step(apply_fn, tx, dataset.stats, use_mask=False,
+                             donate=False)
+    s1 = fresh_state(tx)
+    losses1 = []
+    for _ in range(K):
+        s1, loss, _ = single(s1, jnp.asarray(x_raw), jnp.asarray(y_raw))
+        losses1.append(float(loss))
+
+    # unsharded: identical reduction order → tight match with single steps
+    multi = make_multi_train_step(apply_fn, tx, dataset.stats,
+                                  use_mask=False, mesh=None)
+    s2 = fresh_state(tx)
+    s2, losses2, sums = multi(s2, jnp.asarray(xs), jnp.asarray(ys))
+    np.testing.assert_allclose(np.asarray(losses2), losses1,
+                               rtol=2e-2, atol=1e-3)
+    a = jax.tree_util.tree_leaves(s1["params"])[0]
+    b = jax.tree_util.tree_leaves(s2["params"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-2, atol=1e-3)
+
+    # sharded variant runs and converges (bf16 reduction order differs
+    # slightly across shards — finite check only)
+    multi_dp = make_multi_train_step(apply_fn, tx, dataset.stats,
+                                     use_mask=False, mesh=mesh)
+    s3 = fresh_state(tx)
+    s3, losses3, _ = multi_dp(s3, jnp.asarray(xs), jnp.asarray(ys))
+    assert np.isfinite(np.asarray(losses3)).all()
+    assert float(losses3[-1]) < float(losses3[0])

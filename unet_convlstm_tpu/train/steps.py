@@ -79,6 +79,60 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     return jax.jit(step, **kwargs)
 
 
+def make_multi_train_step(apply_fn: Callable,
+                          tx: optax.GradientTransformation,
+                          norm_stats: NormStats, use_mask: bool = False,
+                          grad_weight: float = 0.005, mesh=None):
+    """K training steps per dispatch: (state, x_raw [K,B,...],
+    y_raw [K,B,...]) → (state, losses [K], summed metric sums).
+
+    ``lax.scan`` over the step body keeps the whole K-step window on
+    device — one launch, one host round-trip — which amortizes dispatch
+    overhead on high-latency links and lets XLA overlap the optimizer of
+    step k with the forward of step k+1. Use when the K-batch window fits
+    HBM; the single-step variant streams otherwise."""
+    def step_body(state, batch):
+        x_raw, y_raw = batch
+        x = normalize_x(x_raw, norm_stats)
+        y = normalize_y(y_raw, norm_stats)
+        mask = compute_mask(x_raw, norm_stats)
+
+        def loss_fn(params):
+            y_pred, _, new_bn = apply_fn(
+                {"params": params, "stats": state["stats"]}, x, train=True)
+            loss = compute_loss(y_pred, y, mask, use_mask,
+                                grad_weight=grad_weight)
+            return loss, (new_bn, y_pred)
+
+        (loss, (new_bn, y_pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        sums = metric_sums_update(
+            metric_sums_init(),
+            denormalize_y(y_pred.astype(jnp.float32), norm_stats),
+            denormalize_y(y, norm_stats), mask, use_mask)
+        return ({"params": new_params, "stats": new_bn,
+                 "opt_state": new_opt}, (loss, sums))
+
+    def multi_step(state, x_raw, y_raw):
+        state, (losses, sums) = jax.lax.scan(step_body, state,
+                                             (x_raw, y_raw))
+        total = jax.tree_util.tree_map(lambda s: jnp.sum(s, axis=0), sums)
+        return state, losses, total
+
+    kwargs: Dict[str, Any] = {"donate_argnums": (0,)}
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kbat = NamedSharding(mesh, P(None, "data"))  # [K, B, ...] on B
+        kwargs["in_shardings"] = (rep, kbat, kbat)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return jax.jit(multi_step, **kwargs)
+
+
 def make_eval_step(apply_fn: Callable, norm_stats: NormStats,
                    use_mask: bool = False, grad_weight: float = 0.005,
                    mesh=None):
