@@ -239,10 +239,9 @@ def cmd_convert_checkpoint(args):
 
 
 def cmd_bench(_args):
-    import runpy
+    from .benchmark import main as bench_main
 
-    runpy.run_path(os.path.join(os.path.dirname(__file__), os.pardir,
-                                "bench.py"), run_name="__main__")
+    bench_main()
 
 
 def build_parser() -> argparse.ArgumentParser:

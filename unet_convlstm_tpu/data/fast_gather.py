@@ -25,6 +25,11 @@ def gather_transpose(src: np.ndarray, indices: np.ndarray,
     indices = np.ascontiguousarray(indices, np.int64)
     N, T, C, H, W = src.shape
     B = len(indices)
+    # the native kernel does raw pointer math — validate like numpy would
+    if B and (indices.min() < 0 or indices.max() >= N):
+        raise IndexError(
+            f"index out of range for dataset of {N} samples: "
+            f"[{indices.min()}, {indices.max()}]")
 
     lib = load_hostio()
     if (lib is not None and src.dtype == np.float32

@@ -95,6 +95,22 @@ def prefetch_to_device(iterator, size: int = 2,
             queue.append(_put(batch))
 
 
+class _GrainSource:
+    """Module-level (picklable) grain data source — worker_count>0 forks
+    child processes that must pickle the source."""
+
+    def __init__(self, dataset, indices: np.ndarray):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        x, y = self.dataset.get_batch_raw(self.indices[i:i + 1])
+        return {"x": x[0], "y": y[0]}
+
+
 def make_grain_loader(dataset, indices: np.ndarray, batch_size: int,
                       shuffle: bool = True, seed: int = 0,
                       worker_count: int = 0, num_epochs: int = 1):
@@ -108,14 +124,7 @@ def make_grain_loader(dataset, indices: np.ndarray, batch_size: int,
     import grain.python as grain
 
     indices = np.asarray(indices)
-
-    class _Source:
-        def __len__(self):
-            return len(indices)
-
-        def __getitem__(self, i):
-            x, y = dataset.get_batch_raw(indices[i:i + 1])
-            return {"x": x[0], "y": y[0]}
+    source = _GrainSource(dataset, indices)
 
     sampler = grain.IndexSampler(
         num_records=len(indices),
@@ -125,7 +134,7 @@ def make_grain_loader(dataset, indices: np.ndarray, batch_size: int,
         num_epochs=num_epochs,
     )
     loader = grain.DataLoader(
-        data_source=_Source(),
+        data_source=source,
         sampler=sampler,
         operations=[grain.Batch(batch_size=batch_size,
                                 drop_remainder=False)],

@@ -24,10 +24,10 @@ def psnr(pred: jax.Array, target: jax.Array,
 def _uniform_filter(x: jax.Array, size: int) -> jax.Array:
     """Mean filter over H, W of an NHWC array (VALID)."""
     n = x.shape[-1]
-    k = jnp.ones((size, size, 1, 1), x.dtype) / (size * size)
-    k = jnp.tile(k, (1, 1, 1, 1))
     # depthwise: feature_group_count = channels
-    k = jnp.broadcast_to(k, (size, size, 1, n))
+    k = jnp.broadcast_to(
+        jnp.ones((size, size, 1, 1), x.dtype) / (size * size),
+        (size, size, 1, n))
     return lax.conv_general_dilated(
         x, k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -58,10 +58,11 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
     elo, ehi = err_range
 
     @jax.jit
-    def batch_fn(variables, x_raw, y_raw, sample_idx):
+    def batch_fn(variables, x_raw, y_raw, sample_idx, n_valid):
         """``sample_idx``: [budget] flat positions — only these pixels leave
         the device for the balanced-scatter pool (the reference ships every
-        pixel to host lists, get_metrics.py:157-173)."""
+        pixel to host lists, get_metrics.py:157-173). ``n_valid``: real rows
+        of a zero-padded tail batch (static shapes, no retrace)."""
         x = normalize_x(x_raw, stats)
         y = normalize_y(y_raw, stats)
         mask = compute_mask(x_raw, stats)
@@ -69,10 +70,12 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
         pred_d = denormalize_y(y_pred.astype(jnp.float32), stats)
         gt_d = denormalize_y(y, stats)
         diff = pred_d - gt_d
+        valid = (jnp.arange(x_raw.shape[0]) < n_valid).astype(jnp.float32)
+        vmask = valid.reshape((-1,) + (1,) * (diff.ndim - 1))
         if use_mask:
-            m = jnp.broadcast_to(mask, diff.shape).astype(jnp.float32)
+            m = jnp.broadcast_to(mask, diff.shape).astype(jnp.float32) * vmask
         else:
-            m = jnp.ones_like(diff)
+            m = jnp.broadcast_to(vmask, diff.shape).astype(jnp.float32)
         # global sums
         n = jnp.sum(m)
         sums = jnp.stack([n, jnp.sum(jnp.abs(diff) * m),
@@ -150,12 +153,16 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
     sc_gt, sc_pred = [], []
     rng = np.random.default_rng(seed)
 
+    from ..data.pipeline import pad_batch
+
     for x_raw, y_raw in loader:
+        # pad the ragged tail so every batch shares one compiled shape
+        x_raw, y_raw, n_valid = pad_batch(x_raw, y_raw, batch_size)
         n_px = int(np.prod(y_raw.shape))
         budget = min(scatter_budget_per_batch, n_px)
         sample_idx = jnp.asarray(rng.choice(n_px, budget, replace=False))
         out = batch_fn(variables, jnp.asarray(x_raw), jnp.asarray(y_raw),
-                       sample_idx)
+                       sample_idx, n_valid)
         s, tn, ta, gh, ph, eh, pred_s, gt_s, m_s = jax.device_get(out)
         sums += s
         t_n += tn

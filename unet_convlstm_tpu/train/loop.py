@@ -144,6 +144,9 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     train_loader = SequenceLoader(dataset, train_idx, cfg.batch_size,
                                   shuffle=True, seed=cfg.seed,
                                   drop_remainder=True)
+    # resume continues the per-epoch shuffle sequence instead of replaying
+    # the orders epochs 1..N already consumed
+    train_loader.epoch = start_epoch - 1
     val_loader = SequenceLoader(dataset, val_idx, cfg.batch_size,
                                 shuffle=False)
 
@@ -160,6 +163,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     history = []
     n_epochs = epochs if epochs is not None else cfg.epochs
     global_step = 0
+    trace_active = False
 
     for epoch in range(start_epoch, n_epochs + 1):
         # ---- train ----
@@ -170,6 +174,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             if profile_dir and global_step == 10:
                 try:
                     jax.profiler.start_trace(profile_dir)
+                    trace_active = True
                 except Exception as e:  # profiling is best-effort
                     log(f"[profiler] start failed: {e}")
                     profile_dir = None
@@ -178,11 +183,12 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             sums = _tree_add(sums, s)
             n_seen += x_raw.shape[0]
             global_step += 1
-            if profile_dir and global_step == 20:
+            if trace_active and global_step >= 20:
                 try:
                     jax.profiler.stop_trace()
                 except Exception as e:
                     log(f"[profiler] stop failed: {e}")
+                trace_active = False
                 profile_dir = None
         if not losses:
             raise ValueError(
@@ -250,6 +256,11 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
              "scheduler": scheduler.state_dict()}, wait=True)
     if tb_writer is not None:
         tb_writer.close()
+    if trace_active:  # run ended before step 20 — finalize the trace
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            log(f"[profiler] stop failed: {e}")
 
     return {"state": state, "history": history, "best_val_loss": best_val,
             "mesh": mesh, "apply_fn": apply_fn, "dataset": dataset}

@@ -31,17 +31,14 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 TrainState = Dict[str, Any]  # {"params", "stats", "opt_state"}
 
 
-def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
-                    norm_stats: NormStats, use_mask: bool = False,
-                    grad_weight: float = 0.005,
-                    mesh=None, donate: bool = True):
-    """Build the jitted step: (state, x_raw, y_raw) → (state, loss, sums).
+def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
+                    norm_stats: NormStats, use_mask: bool,
+                    grad_weight: float):
+    """The one training-step body shared by the single-step and K-step
+    (scanned) trainers — edits here keep both in lockstep (their exact
+    equivalence is tested)."""
 
-    ``apply_fn(variables, x_seq, state=None, train=...)`` → (y_seq, state,
-    new_bn_stats); raw NHWC batches (normalization fuses into the step).
-    """
-
-    def step(state: TrainState, x_raw, y_raw):
+    def step_core(state: TrainState, x_raw, y_raw):
         x = normalize_x(x_raw, norm_stats)
         y = normalize_y(y_raw, norm_stats)
         mask = compute_mask(x_raw, norm_stats)
@@ -58,7 +55,6 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         updates, new_opt = tx.update(grads, state["opt_state"],
                                      state["params"])
         new_params = optax.apply_updates(state["params"], updates)
-
         sums = metric_sums_update(
             metric_sums_init(),
             denormalize_y(y_pred.astype(jnp.float32), norm_stats),
@@ -67,6 +63,20 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         new_state = {"params": new_params, "stats": new_bn,
                      "opt_state": new_opt}
         return new_state, loss, sums
+
+    return step_core
+
+
+def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                    norm_stats: NormStats, use_mask: bool = False,
+                    grad_weight: float = 0.005,
+                    mesh=None, donate: bool = True):
+    """Build the jitted step: (state, x_raw, y_raw) → (state, loss, sums).
+
+    ``apply_fn(variables, x_seq, state=None, train=...)`` → (y_seq, state,
+    new_bn_stats); raw NHWC batches (normalization fuses into the step).
+    """
+    step = _make_step_core(apply_fn, tx, norm_stats, use_mask, grad_weight)
 
     kwargs: Dict[str, Any] = {}
     if donate:
@@ -91,30 +101,13 @@ def make_multi_train_step(apply_fn: Callable,
     overhead on high-latency links and lets XLA overlap the optimizer of
     step k with the forward of step k+1. Use when the K-batch window fits
     HBM; the single-step variant streams otherwise."""
+    step_core = _make_step_core(apply_fn, tx, norm_stats, use_mask,
+                                grad_weight)
+
     def step_body(state, batch):
         x_raw, y_raw = batch
-        x = normalize_x(x_raw, norm_stats)
-        y = normalize_y(y_raw, norm_stats)
-        mask = compute_mask(x_raw, norm_stats)
-
-        def loss_fn(params):
-            y_pred, _, new_bn = apply_fn(
-                {"params": params, "stats": state["stats"]}, x, train=True)
-            loss = compute_loss(y_pred, y, mask, use_mask,
-                                grad_weight=grad_weight)
-            return loss, (new_bn, y_pred)
-
-        (loss, (new_bn, y_pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"])
-        updates, new_opt = tx.update(grads, state["opt_state"],
-                                     state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-        sums = metric_sums_update(
-            metric_sums_init(),
-            denormalize_y(y_pred.astype(jnp.float32), norm_stats),
-            denormalize_y(y, norm_stats), mask, use_mask)
-        return ({"params": new_params, "stats": new_bn,
-                 "opt_state": new_opt}, (loss, sums))
+        new_state, loss, sums = step_core(state, x_raw, y_raw)
+        return new_state, (loss, sums)
 
     def multi_step(state, x_raw, y_raw):
         state, (losses, sums) = jax.lax.scan(step_body, state,
