@@ -26,6 +26,7 @@ import orbax.checkpoint as ocp
 
 
 _CKPTR: Optional[ocp.AsyncCheckpointer] = None
+_PENDING_META: list = []  # (tmp_path, final_path) renamed after commit
 
 
 def _checkpointer() -> ocp.AsyncCheckpointer:
@@ -35,26 +36,44 @@ def _checkpointer() -> ocp.AsyncCheckpointer:
     return _CKPTR
 
 
+def _finalize_pending_meta() -> None:
+    while _PENDING_META:
+        tmp, final = _PENDING_META.pop()
+        if os.path.exists(tmp):
+            os.replace(tmp, final)
+
+
 def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
                     metadata: Dict[str, Any], wait: bool = False) -> str:
     """Write ``state`` (params/stats/opt_state pytree) under
     ``ckpt_dir/name`` plus a ``meta.json`` (config, epoch, val_loss,
-    norm_stats, scheduler)."""
+    norm_stats, scheduler).
+
+    Crash consistency: the state save is async and Orbax-atomic; the new
+    metadata is staged as ``meta.json.next`` and only renamed over
+    ``meta.json`` after the state commit completes, so a crash mid-save
+    leaves the previous (meta, state) pair intact and matching."""
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(path, exist_ok=True)
     ckptr = _checkpointer()
     ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state),
                force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    meta_final = os.path.join(path, "meta.json")
+    meta_tmp = meta_final + ".next"
+    with open(meta_tmp, "w") as f:
         json.dump(metadata, f, indent=2, default=float)
+    _PENDING_META.append((meta_tmp, meta_final))
     if wait:
         ckptr.wait_until_finished()
+        _finalize_pending_meta()
     return path
 
 
 def wait_for_saves() -> None:
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    _finalize_pending_meta()
 
 
 def restore_checkpoint(path: str,
@@ -65,6 +84,7 @@ def restore_checkpoint(path: str,
     without one it restores as nested dicts (fine for params-only use)."""
     path = os.path.abspath(path)
     _checkpointer().wait_until_finished()
+    _finalize_pending_meta()
     ckptr = ocp.StandardCheckpointer()
     if state_template is not None:
         # read metadata only — np.asarray would device-transfer every leaf
@@ -76,7 +96,12 @@ def restore_checkpoint(path: str,
         state = ckptr.restore(os.path.join(path, "state"), target=abstract)
     else:
         state = ckptr.restore(os.path.join(path, "state"))
-    with open(os.path.join(path, "meta.json")) as f:
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path) and os.path.exists(meta_path + ".next"):
+        # a crashed run staged metadata it never finalized; if Orbax
+        # committed the state (it restored above), the staged meta matches
+        meta_path = meta_path + ".next"
+    with open(meta_path) as f:
         metadata = json.load(f)
     return state, metadata
 
