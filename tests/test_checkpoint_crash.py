@@ -1,0 +1,75 @@
+"""Crash-consistency of checkpoint metadata (advisor round-1, medium).
+
+``save_checkpoint(wait=False)`` stages ``meta.json.next`` before the async
+Orbax state save starts and only finalizes it later. If the process dies
+in between, a later restore (in a NEW process, so the in-process pending
+list is gone) must pair the restored state with the RIGHT metadata:
+
+* crash after the state commit  -> adopt the staged ``.next``
+* crash before the state commit -> keep the old ``meta.json`` and drop
+  the orphaned ``.next``
+"""
+
+import json
+import os
+
+import numpy as np
+
+from unet_convlstm_tpu.train import checkpoint as ckpt_mod
+from unet_convlstm_tpu.train.checkpoint import (
+    latest_checkpoint, restore_checkpoint, save_checkpoint)
+
+
+def _state(v):
+    return {"params": {"w": np.full((2, 2), float(v), np.float32)}}
+
+
+def _simulate_process_death():
+    """Forget staged metadata exactly like a dead process would."""
+    ckpt_mod._PENDING_META.clear()
+
+
+def test_crash_after_commit_adopts_staged_meta(tmp_path):
+    d = str(tmp_path)
+    save_checkpoint(d, "m", _state(1), {"epoch": 1}, wait=True)
+
+    # second (best-style, async) save: state 2 commits, meta never finalized
+    save_checkpoint(d, "m", _state(2), {"epoch": 2}, wait=False)
+    ckpt_mod._checkpointer().wait_until_finished()  # Orbax commit done
+    _simulate_process_death()
+    assert os.path.exists(os.path.join(d, "m", "meta.json.next"))
+    with open(os.path.join(d, "m", "meta.json")) as f:
+        assert json.load(f)["epoch"] == 1  # stale on disk — the bug window
+
+    state, meta = restore_checkpoint(os.path.join(d, "m"))
+    assert meta["epoch"] == 2  # paired with the committed state 2
+    assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 2.0
+    assert not os.path.exists(os.path.join(d, "m", "meta.json.next"))
+
+
+def test_crash_before_commit_keeps_old_meta(tmp_path):
+    d = str(tmp_path)
+    save_checkpoint(d, "m", _state(1), {"epoch": 1}, wait=True)
+
+    # a save that staged metadata but whose state commit never happened
+    next_path = os.path.join(d, "m", "meta.json.next")
+    with open(next_path, "w") as f:
+        json.dump({"epoch": 2}, f)
+    _simulate_process_death()
+
+    state, meta = restore_checkpoint(os.path.join(d, "m"))
+    assert meta["epoch"] == 1  # state 1 on disk -> meta 1 is the match
+    assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 1.0
+    assert not os.path.exists(next_path)  # orphan cleaned up
+
+
+def test_crash_on_first_save_uses_staged_meta(tmp_path):
+    d = str(tmp_path)
+    save_checkpoint(d, "m", _state(1), {"epoch": 1}, wait=False)
+    ckpt_mod._checkpointer().wait_until_finished()
+    _simulate_process_death()
+    assert not os.path.exists(os.path.join(d, "m", "meta.json"))
+
+    assert latest_checkpoint(d) == os.path.join(d, "m")  # .next counts
+    state, meta = restore_checkpoint(os.path.join(d, "m"))
+    assert meta["epoch"] == 1

@@ -217,8 +217,18 @@ def cmd_convert_checkpoint(args):
         convert_temporal_unet_checkpoint,
     )
 
-    ckpt = torch.load(args.torch_ckpt, map_location="cpu",
-                      weights_only=False)
+    # Reference checkpoints hold only tensors + plain dicts
+    # (main.py:307-323); weights_only keeps third-party .pt files from
+    # executing arbitrary pickle code through this migration tool.
+    try:
+        ckpt = torch.load(args.torch_ckpt, map_location="cpu",
+                          weights_only=True)
+    except Exception as e:
+        print(f"WARNING: safe (weights_only) load failed ({e}); "
+              "falling back to full unpickling — only do this for "
+              "checkpoints you trust.")
+        ckpt = torch.load(args.torch_ckpt, map_location="cpu",
+                          weights_only=False)
     sd = ckpt.get("model_state", ckpt)
     cfg = ckpt.get("config", {"type": args.model_type})
     model_type = cfg.get("type", args.model_type)

@@ -49,21 +49,33 @@ def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
     ``ckpt_dir/name`` plus a ``meta.json`` (config, epoch, val_loss,
     norm_stats, scheduler).
 
-    Crash consistency: the state save is async and Orbax-atomic; the new
-    metadata is staged as ``meta.json.next`` and only renamed over
-    ``meta.json`` after the state commit completes, so a crash mid-save
-    leaves the previous (meta, state) pair intact and matching."""
+    Crash consistency: the state save is async and Orbax-atomic. The new
+    metadata is staged as ``meta.json.next`` BEFORE the state save starts,
+    so the Orbax commit (a directory rename, which bumps the ``state``
+    dir's ctime) is always strictly newer than its staged metadata.
+    ``restore_checkpoint`` uses that ordering to decide whether a
+    never-finalized ``.next`` belongs to the committed state (crash after
+    commit → adopt it) or to an aborted save (crash before commit → keep
+    the old ``meta.json``), closing the stale-metadata window for
+    ``wait=False`` saves that advisor round 1 flagged."""
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(path, exist_ok=True)
     ckptr = _checkpointer()
-    ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state),
-               force=True)
+    # The previous async save must commit before a new one starts (Orbax
+    # would serialize them anyway); waiting here lets us finalize earlier
+    # staged metadata without adding steady-state blocking.
+    ckptr.wait_until_finished()
+    _finalize_pending_meta()
     meta_final = os.path.join(path, "meta.json")
     meta_tmp = meta_final + ".next"
     with open(meta_tmp, "w") as f:
         json.dump(metadata, f, indent=2, default=float)
+        f.flush()
+        os.fsync(f.fileno())
     _PENDING_META.append((meta_tmp, meta_final))
+    ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state),
+               force=True)
     if wait:
         ckptr.wait_until_finished()
         _finalize_pending_meta()
@@ -97,10 +109,24 @@ def restore_checkpoint(path: str,
     else:
         state = ckptr.restore(os.path.join(path, "state"))
     meta_path = os.path.join(path, "meta.json")
-    if not os.path.exists(meta_path) and os.path.exists(meta_path + ".next"):
-        # a crashed run staged metadata it never finalized; if Orbax
-        # committed the state (it restored above), the staged meta matches
-        meta_path = meta_path + ".next"
+    next_path = meta_path + ".next"
+    if os.path.exists(next_path):
+        if not os.path.exists(meta_path):
+            # first save crashed after the state commit (the restore above
+            # proves a commit happened) — the staged meta is the match
+            meta_path = next_path
+        else:
+            # Staging happens before the state save starts, and the Orbax
+            # commit renames the `state` dir (bumping its ctime). So:
+            # commit-after-staging  => crash happened post-commit, the
+            # `.next` describes the restored state — adopt (finalize) it;
+            # commit-before-staging => the save that staged `.next` never
+            # committed, `meta.json` still matches — drop the orphan.
+            state_ctime = os.stat(os.path.join(path, "state")).st_ctime_ns
+            if state_ctime >= os.stat(next_path).st_mtime_ns:
+                os.replace(next_path, meta_path)
+            else:
+                os.remove(next_path)
     with open(meta_path) as f:
         metadata = json.load(f)
     return state, metadata
@@ -112,9 +138,10 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         return None
     best, best_t = None, -1.0
     for name in os.listdir(ckpt_dir):
-        meta = os.path.join(ckpt_dir, name, "meta.json")
-        if os.path.exists(meta):
-            t = os.path.getmtime(meta)
-            if t > best_t:
-                best, best_t = os.path.join(ckpt_dir, name), t
+        for meta_name in ("meta.json", "meta.json.next"):
+            meta = os.path.join(ckpt_dir, name, meta_name)
+            if os.path.exists(meta):
+                t = os.path.getmtime(meta)
+                if t > best_t:
+                    best, best_t = os.path.join(ckpt_dir, name), t
     return best
