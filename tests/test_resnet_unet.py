@@ -129,9 +129,11 @@ def test_frozen_encoder_gets_no_gradient(small_model, rng):
     assert dec_norm > 0.0
 
 
-def test_weight_converter_mapping():
-    """Synthetic torchvision-layout state_dict → our layout; kernels land
-    transposed, BN stats land in stats, first conv adapts 3→2 channels."""
+def _synthetic_resnet18_sd():
+    """A full torchvision-layout resnet18 state_dict with random weights —
+    stands in for the real ImageNet .pth (absent from this image).
+    Seeded: repeated calls return identical tensors."""
+    torch.manual_seed(1234)
     sd = {"conv1.weight": torch.randn(64, 3, 7, 7),
           "bn1.weight": torch.ones(64), "bn1.bias": torch.zeros(64),
           "bn1.running_mean": torch.zeros(64),
@@ -155,7 +157,13 @@ def test_weight_converter_mapping():
                 sd[f"{pre}.downsample.1.bias"] = torch.zeros(cout)
                 sd[f"{pre}.downsample.1.running_mean"] = torch.zeros(cout)
                 sd[f"{pre}.downsample.1.running_var"] = torch.ones(cout)
+    return sd
 
+
+def test_weight_converter_mapping():
+    """Synthetic torchvision-layout state_dict → our layout; kernels land
+    transposed, BN stats land in stats, first conv adapts 3→2 channels."""
+    sd = _synthetic_resnet18_sd()
     conv = convert_resnet18_state_dict(sd, in_channels=2)
     assert conv["params"]["conv1"]["w"].shape == (7, 7, 2, 64)
     np.testing.assert_allclose(
@@ -173,3 +181,49 @@ def test_weight_converter_mapping():
     feats, _ = resnet18_encoder_apply(conv["params"], conv["stats"], x,
                                       train=False)
     assert feats[-1].shape == (1, 2, 2, 512)
+
+
+# --- pretrained-weights policy (VERDICT round-1 #2) ---------------------
+
+def test_no_weights_never_freezes_random_encoder(monkeypatch, tmp_path):
+    """freeze_encoder=True with no weights anywhere must warn and fall
+    back to training the encoder — the reference never freezes random
+    features (train/resnet18.py:26-44)."""
+    from unet_convlstm_tpu.models.registry import build_model
+
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path / "empty"))
+    monkeypatch.setenv("HOME", str(tmp_path))  # hide any real hub cache
+    monkeypatch.chdir(tmp_path)
+    with pytest.warns(UserWarning, match="falling back to"):
+        cfg, _, _, _ = build_model({"type": "resnet18",
+                                    "freeze_encoder": True,
+                                    "lstm_layers": 1})
+    assert cfg.freeze_encoder is False
+
+
+def test_hub_cache_weights_are_found_and_freeze_holds(monkeypatch, tmp_path):
+    """A resnet18-*.pth in the torch hub cache layout is auto-discovered;
+    freezing then proceeds (matching smp's download-once behavior)."""
+    import warnings
+
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.utils.torch_weights import find_resnet18_weights
+
+    hub = tmp_path / "torchhome" / "hub" / "checkpoints"
+    hub.mkdir(parents=True)
+    torch.save(_synthetic_resnet18_sd(), hub / "resnet18-f37072fd.pth")
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path / "torchhome"))
+
+    assert find_resnet18_weights() == str(hub / "resnet18-f37072fd.pth")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no fallback warning expected
+        cfg, init_fn, _, _ = build_model({"type": "resnet18",
+                                          "freeze_encoder": True,
+                                          "lstm_layers": 1})
+    assert cfg.freeze_encoder is True
+    # the discovered weights actually land in the initialized params
+    variables = init_fn(jax.random.PRNGKey(0))
+    sd = _synthetic_resnet18_sd()
+    got = np.asarray(variables["params"]["encoder"]["layer1_0"]["conv2"]["w"])
+    want = np.transpose(sd["layer1.0.conv2.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

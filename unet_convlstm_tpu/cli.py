@@ -106,7 +106,7 @@ def cmd_rollout(args):
     import jax.numpy as jnp
 
     from .data.npz_dataset import NPZSequenceDataset
-    from .eval.rollout import rollout_streaming
+    from .eval.rollout import rollout_scan
     from .ops.normalize import compute_mask, denormalize_y, normalize_x
     from .viz.rollout_video import create_rollout_video
 
@@ -116,7 +116,8 @@ def cmd_rollout(args):
     x_raw, y_raw = dataset.get_batch_raw(np.array([args.sequence_idx]))
     s = dataset.stats
     x = normalize_x(jnp.asarray(x_raw), s)
-    y_pred, _ = rollout_streaming(apply_fn, variables, x, init_state)
+    # offline whole-sequence rollout: one device dispatch (lax.scan over T)
+    y_pred, _ = rollout_scan(apply_fn, variables, x, init_state)
     pred_d = np.asarray(denormalize_y(np.asarray(y_pred, np.float32), s))
     gt_d = np.asarray(dataset.denormalize(
         np.asarray(dataset[args.sequence_idx][1])))

@@ -13,5 +13,6 @@ Capability parity with the reference's evaluation layer:
 """
 
 from .metrics import evaluate_model, EvalReport  # noqa: F401
-from .rollout import rollout_streaming, rollout_prefix_rerun  # noqa: F401
+from .rollout import (rollout_streaming, rollout_scan,  # noqa: F401
+                      rollout_prefix_rerun)
 from .image_metrics import psnr, ssim  # noqa: F401

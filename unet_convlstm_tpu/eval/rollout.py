@@ -9,14 +9,41 @@ one frame at a time, so a length-T rollout is O(T) with identical outputs
 tests/test_resnet_unet.py::test_resnet_unet_streaming_matches_full).
 ``rollout_prefix_rerun`` reproduces the reference's exact prefix semantics
 for apples-to-apples comparison.
+
+The per-frame jitted step is cached per ``apply_fn`` (WeakKeyDictionary),
+so repeated ``rollout_streaming`` calls reuse one trace — round 1 rebuilt
+the jit wrapper per call, forcing a retrace every invocation. For offline
+whole-sequence rollout, ``rollout_scan`` runs the T-loop on device inside a
+single ``lax.scan`` dispatch.
 """
 
 from __future__ import annotations
 
+import weakref
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_STEP_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = \
+    weakref.WeakKeyDictionary()
+_SCAN_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = \
+    weakref.WeakKeyDictionary()
+
+
+def _streaming_step(apply_fn: Callable) -> Callable:
+    """One jitted single-frame step per apply_fn for the process lifetime:
+    a second rollout with the same model+shapes is dispatch-only."""
+    step = _STEP_CACHE.get(apply_fn)
+    if step is None:
+        @jax.jit
+        def step(variables, x_t, state):
+            y_t, new_state, _ = apply_fn(variables, x_t, state=state,
+                                         train=False)
+            return y_t, new_state
+
+        _STEP_CACHE[apply_fn] = step
+    return step
 
 
 def rollout_streaming(apply_fn: Callable, variables, x_seq: jax.Array,
@@ -26,23 +53,53 @@ def rollout_streaming(apply_fn: Callable, variables, x_seq: jax.Array,
     """Feed frames one at a time, carrying the recurrent state.
 
     x_seq: [B, T, H, W, C]. Returns (y_seq [B, T, H, W, out], final state).
-    Per-frame cost is constant — the streaming-serving path.
+    Per-frame cost is constant — the streaming-serving path (use this when
+    frames arrive online; for offline full sequences prefer
+    ``rollout_scan``, one dispatch instead of T).
     """
     B, T, H, W, _ = x_seq.shape
     if state is None:
         state = init_state_fn(B, H, W)
-
-    @jax.jit
-    def step(variables, x_t, state):
-        y_t, new_state, _ = apply_fn(variables, x_t, state=state,
-                                     train=False)
-        return y_t, new_state
+    step = _streaming_step(apply_fn)
 
     outs: List[jax.Array] = []
     for t in range(T):
         y_t, state = step(variables, x_seq[:, t:t + 1], state)
         outs.append(y_t)
     return jnp.concatenate(outs, axis=1), state
+
+
+def rollout_scan(apply_fn: Callable, variables, x_seq: jax.Array,
+                 init_state_fn: Callable,
+                 state: Optional[Dict[str, Any]] = None
+                 ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Whole-sequence streaming rollout as ONE device dispatch: the frame
+    loop is a ``lax.scan`` over time, carrying the recurrent state — same
+    outputs as ``rollout_streaming``, without T host round-trips."""
+    B, T, H, W, _ = x_seq.shape
+    if state is None:
+        state = init_state_fn(B, H, W)
+
+    scan_fn = _SCAN_CACHE.get(apply_fn)
+    if scan_fn is None:
+        @jax.jit
+        def scan_fn(variables, x_seq, state):
+            def body(st, x_t):
+                y_t, new_st, _ = apply_fn(variables, x_t[:, None],
+                                          state=st, train=False)
+                return new_st, y_t[:, 0]
+
+            xs = jnp.moveaxis(x_seq, 1, 0)
+            # Align carry dtypes: zero-init states are f32 while the step
+            # emits the policy's h dtype (bf16) — cast once before the scan.
+            out_st = jax.eval_shape(lambda s: body(s, xs[0])[0], state)
+            state = jax.tree_util.tree_map(
+                lambda s, t: s.astype(t.dtype), state, out_st)
+            final, ys = jax.lax.scan(body, state, xs)
+            return jnp.moveaxis(ys, 0, 1), final
+
+        _SCAN_CACHE[apply_fn] = scan_fn
+    return scan_fn(variables, x_seq, state)
 
 
 def rollout_prefix_rerun(apply_fn: Callable, variables, x_seq: jax.Array

@@ -41,22 +41,43 @@ def _build_custom(cfg_dict: Dict[str, Any]):
 
 
 def _build_resnet18(cfg_dict: Dict[str, Any]):
+    import warnings
+
     from .resnet_unet import (
         ResNetUNetConfig, resnet_unet_init, resnet_unet_apply,
         resnet_unet_init_state,
     )
+    from ..utils.torch_weights import find_resnet18_weights, load_torch_resnet18
+
+    # Pretrained-weights policy. The reference's resnet path is DEFINED by
+    # frozen ImageNet features (train/resnet18.py:26-33,41-44); freezing a
+    # randomly initialized encoder is a configuration it never runs. So:
+    # an explicit pretrained_path is loaded (errors propagate loudly); with
+    # none given, the standard torch hub cache is searched; if no weights
+    # exist anywhere, freeze_encoder is forced off with a warning — random
+    # features must never be silently frozen.
+    pretrained = None
+    path = cfg_dict.get("pretrained_path") or find_resnet18_weights()
+    if path:
+        pretrained = load_torch_resnet18(path, cfg_dict.get("in_channels", 2))
+    freeze = cfg_dict.get("freeze_encoder", True)
+    if freeze and pretrained is None:
+        warnings.warn(
+            "resnet18 model: freeze_encoder=True but no ImageNet weights "
+            "were given (pretrained_path) or found in the torch hub cache "
+            "— falling back to freeze_encoder=False so a random encoder "
+            "is trained, not frozen. Provide resnet18-*.pth to match the "
+            "reference's frozen-ImageNet configuration.",
+            stacklevel=2)
+        freeze = False
+
     cfg = ResNetUNetConfig(
         out_channels=cfg_dict.get("out_channels", 1),
         lstm_layers=cfg_dict.get("lstm_layers", 2),
-        freeze_encoder=cfg_dict.get("freeze_encoder", True),
+        freeze_encoder=freeze,
         in_channels=cfg_dict.get("in_channels", 2),
         encoder_bn_train=cfg_dict.get("encoder_bn_train", False),
     )
-    pretrained = None
-    if cfg_dict.get("pretrained_path"):
-        from ..utils.torch_weights import load_torch_resnet18
-        pretrained = load_torch_resnet18(cfg_dict["pretrained_path"],
-                                         cfg.in_channels)
 
     def init(key):
         return resnet_unet_init(key, cfg, pretrained_params=pretrained)

@@ -16,7 +16,8 @@ mod 3 and scaled by 3/new_in so activation magnitude is preserved.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import os
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -217,3 +218,28 @@ def load_torch_resnet18(path: str, in_channels: int = 2) -> Dict[str, Any]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return convert_resnet18_state_dict(sd, in_channels)
+
+
+def find_resnet18_weights(root: Optional[str] = None) -> Optional[str]:
+    """Locate an ImageNet resnet18 ``.pth`` in the standard torch hub cache
+    layout (the place ``torchvision``/smp would have downloaded it to,
+    reference train/resnet18.py:26-33), without any network access.
+
+    Searched (first hit wins): an explicit ``root``, ``$TORCH_HOME``,
+    ``~/.cache/torch``, and ``./data`` — each with and without the
+    ``hub/checkpoints`` suffix. Returns the path or None."""
+    import glob as _glob
+
+    bases = []
+    if root:
+        bases.append(root)
+    if os.environ.get("TORCH_HOME"):
+        bases.append(os.environ["TORCH_HOME"])
+    bases += [os.path.expanduser("~/.cache/torch"), "./data"]
+    for base in bases:
+        for sub in ("hub/checkpoints", "checkpoints", ""):
+            hits = sorted(_glob.glob(
+                os.path.join(base, sub, "resnet18-*.pth")))
+            if hits:
+                return hits[0]
+    return None
