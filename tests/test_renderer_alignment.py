@@ -179,3 +179,69 @@ def test_fov_from_geometry():
     fov_pad = fov_from_geometry([46.8, 53.8], [573.0, 558.0],
                                 cloud_width_m=2560.0, pad_image=True)
     assert np.isfinite(fov_pad)
+
+
+# --- multiple scattering (VERDICT round-1 #4) ---------------------------
+
+def _ms_scene():
+    from unet_convlstm_tpu.datagen.renderer import (
+        VolumeScene, make_synthetic_debug_volume)
+    vol = make_synthetic_debug_volume(width=32, depth=40)
+    return VolumeScene(jnp.asarray(vol), voxel_size=20.0)
+
+
+def test_ms_orders_1_matches_single_scatter():
+    """ms_orders=1 must be bit-identical to the round-1 single-scatter
+    path (the flag defaults off)."""
+    from unet_convlstm_tpu.datagen.renderer import render_radiance
+
+    scene = _ms_scene()
+    kw = dict(origin=(0, 0, 5000.0), target=(0, 0, 400.0), fov_deg=8.0,
+              resolution=(48, 48), sun_dir=(0.2, 0.0, -0.98))
+    base = np.asarray(render_radiance(scene, **kw))
+    again = np.asarray(render_radiance(scene, **kw, ms_orders=1))
+    np.testing.assert_array_equal(base, again)
+
+
+def test_ms_adds_energy_and_converges():
+    """Each added order contributes non-negative radiance, and the
+    per-order increments shrink geometrically (albedo < 1 ->
+    Neumann-series convergence)."""
+    from unet_convlstm_tpu.datagen.renderer import render_radiance
+
+    scene = _ms_scene()
+    kw = dict(origin=(0, 0, 5000.0), target=(0, 0, 400.0), fov_deg=8.0,
+              resolution=(48, 48), sun_dir=(0.2, 0.0, -0.98), albedo=0.9)
+    means = [float(np.asarray(render_radiance(scene, **kw,
+                                              ms_orders=n)).mean())
+             for n in (1, 2, 3, 4)]
+    deltas = np.diff(means)
+    assert np.all(deltas >= -1e-9)          # monotone in order
+    assert deltas[0] > 0                    # order 2 actually adds light
+    assert deltas[2] < deltas[1] < deltas[0] * 1.0001  # shrinking tail
+
+
+def test_ms_fluence_zero_without_cloud():
+    from unet_convlstm_tpu.datagen.renderer import multiple_scatter_fluence
+
+    beta = jnp.zeros((8, 8, 8))
+    t_sun = jnp.ones((8, 8, 8))
+    e = multiple_scatter_fluence(beta, t_sun, 20.0, 1.0, 131.4, 3)
+    np.testing.assert_array_equal(np.asarray(e), 0.0)
+
+
+def test_ms_precomputed_fluence_matches_inline():
+    from unet_convlstm_tpu.datagen.renderer import (
+        multiple_scatter_fluence, render_radiance, sun_transmittance)
+
+    scene = _ms_scene()
+    sun = jnp.asarray((0.2, 0.0, -0.98))
+    sun = sun / jnp.linalg.norm(sun)
+    t_sun = sun_transmittance(scene, sun)
+    e_ms = multiple_scatter_fluence(scene.beta, t_sun, 20.0, 1.0,
+                                    131.4, 3)
+    kw = dict(origin=(0, 0, 5000.0), target=(0, 0, 400.0), fov_deg=8.0,
+              resolution=(32, 32), sun_dir=(0.2, 0.0, -0.98))
+    inline = np.asarray(render_radiance(scene, **kw, ms_orders=3))
+    pre = np.asarray(render_radiance(scene, **kw, t_sun=t_sun, e_ms=e_ms))
+    np.testing.assert_allclose(pre, inline, rtol=1e-6, atol=1e-8)

@@ -22,7 +22,9 @@ from typing import Optional, Tuple
 import numpy as np
 
 from .overpass import camera_schedule, read_overpass_csv, sun_direction
-from .renderer import VolumeScene, render_radiance, sun_transmittance
+from .renderer import (SUN_IRRADIANCE, VolumeScene,
+                       multiple_scatter_fluence, render_radiance,
+                       sun_transmittance)
 
 
 def _load_patch(path: str):
@@ -36,11 +38,15 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                    voxel_size: float = 20.0, z_offset: float = 0.0,
                    target_z_scale: float = 2.5,
                    start: Optional[int] = None, end: Optional[int] = None,
+                   ms_orders: int = 1,
                    verbose: bool = True) -> int:
     """Render every patch in every numeric folder; returns pkls written.
 
     Camera per reference render.py:102-117: origin (ENU[1], ENU[0], ENU[2])
     km → meters, target [0, 0, cloud_z_center·target_z_scale], up [1,0,0].
+    ``ms_orders`` > 1 adds successive-order multiple scattering (the
+    per-patch fluence volume is shared across that patch's views, like the
+    sun transmittance).
     """
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
@@ -79,6 +85,11 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                                                    np.float32),
                                         voxel_size, z_offset)
                     t_sun = sun_transmittance(scene, sun)
+                    e_ms = None
+                    if ms_orders > 1:
+                        e_ms = multiple_scatter_fluence(
+                            scene.beta, t_sun, float(voxel_size), 1.0,
+                            SUN_IRRADIANCE, int(ms_orders))
                     z_center = (scene.min_bound[2] + scene.max_bound[2]) / 2
                     target = np.array([0.0, 0.0,
                                        z_center * target_z_scale])
@@ -88,7 +99,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                         origin = origin_km * 1000.0
                         img = render_radiance(
                             scene, origin, target, up, fov_deg, resolution,
-                            sun, g=g, t_sun=t_sun)
+                            sun, g=g, t_sun=t_sun, e_ms=e_ms)
                         name = f"{base}_time_{int(t)}_view_{sat}.pkl"
                         with open(os.path.join(out_dir, name), "wb") as f:
                             pickle.dump({"render": np.asarray(img),
