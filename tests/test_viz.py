@@ -156,16 +156,43 @@ def test_dashboard3d_video(tmp_path, rng):
         di = tmp_path / "img" / f"{100 + k}"
         dm = tmp_path / "map" / f"{100 + k}"
         di.mkdir(parents=True), dm.mkdir(parents=True)
-        with open(di / f"sample_000_time_{k}_view_0.pkl", "wb") as f:
-            pickle.dump({"render": rng.random((16, 16)).astype(np.float32)},
-                        f)
-        maps = {f"{c}_map": rng.standard_normal((16, 16)).astype(np.float32)
-                for c in "uvw"}
-        with open(dm / f"sample_000_time_{k}_view_0_slice_1000m.pkl",
-                  "wb") as f:
-            pickle.dump(maps, f)
+        for v in range(2):
+            with open(di / f"sample_000_time_{k}_view_{v}.pkl", "wb") as f:
+                pickle.dump(
+                    {"render": rng.random((16, 16)).astype(np.float32)}, f)
+            if v == 0:  # view 1 has no map -> zero-map fallback (:283-289)
+                maps = {f"{c}_map":
+                        rng.standard_normal((16, 16)).astype(np.float32)
+                        for c in "uvw"}
+                with open(dm /
+                          f"sample_000_time_{k}_view_{v}_slice_1000m.pkl",
+                          "wb") as f:
+                    pickle.dump(maps, f)
     out = str(tmp_path / "dash.mp4")
     n = create_dashboard_3d(str(tmp_path / "img"), str(tmp_path / "map"),
                             csv, sample_idx=0, out_path=out, verbose=False)
     assert n == 2
-    assert os.path.getsize(out) > 5000
+    assert os.path.getsize(out) > 2000
+
+
+def test_dashboard3d_frame_layout(rng):
+    """The padded layout contract (reference :317-378): per-view
+    [render; W map] columns, 20-px separators, geometry panel at column
+    height, 40-px dark border all around."""
+    from unet_convlstm_tpu.viz.dashboard3d import compose_dashboard_frame
+
+    renders = [rng.random((16, 20)).astype(np.float32) for _ in range(2)]
+    wmap = rng.standard_normal((16, 20)).astype(np.float32)
+    wmap[0, 0] = np.nan
+    geo = (rng.random((30, 24, 3)) * 255).astype(np.uint8)
+    frame = compose_dashboard_frame(renders, [wmap, None], geo,
+                                    label="Folder: 1")
+    h_col = 2 * 16
+    geo_w = int(24 * h_col / 30)
+    assert frame.shape == (h_col + 80, 2 * (20 + 20) + geo_w + 80, 3)
+    assert frame.dtype == np.uint8
+    # dark border + light separator actually present
+    assert (frame[:40] == 50).all() and (frame[:, :40] == 50).all()
+    # second separator spans content x 60..79; probe a pixel clear of the
+    # text overlays (tiny test panels put labels over the first one)
+    assert (frame[40 + 28, 40 + 78] == 230).all()
