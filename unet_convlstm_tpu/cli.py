@@ -249,6 +249,17 @@ def cmd_convert_checkpoint(args):
     print(f"converted {args.torch_ckpt} -> {path}")
 
 
+def cmd_cloud_gate(args):
+    """Thresholded synthetic-cloud acceptance run over the full B/C/D +
+    training pipeline (see train/cloud_gate.py)."""
+    from .train.cloud_gate import (PRODUCTION, CloudGateConfig,
+                                   run_cloud_gate)
+
+    cfg = PRODUCTION if args.production else CloudGateConfig()
+    res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
+    raise SystemExit(0 if res["passed"] else 1)
+
+
 def cmd_bench(_args):
     from .benchmark import main as bench_main
 
@@ -374,6 +385,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="frames/sec benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    cg = sub.add_parser("cloud-gate",
+                        help="thresholded synthetic-cloud acceptance run "
+                             "(B/C/D pipeline + training)")
+    cg.add_argument("--work-dir", required=True)
+    cg.add_argument("--out", default=None, help="result json path")
+    cg.add_argument("--production", action="store_true",
+                    help="production geometry (128², base_ch 64; TPU)")
+    cg.set_defaults(fn=cmd_cloud_gate)
     return p
 
 

@@ -1,0 +1,181 @@
+"""Cloud-pipeline acceptance gate — the reproducible version of the
+round-1 ad-hoc golden run (results/cloud_synth_golden.json).
+
+Synthesizes physically structured cloud volumes (no real BOMEX .nc exists
+in this image), pushes them through the FULL offline chain the reference
+runs across machines — stage B radiance renders (render_all.py), stage C
+velocity slice maps (build_WVU_maps.py), stage D sequence assembly
+(build_sequences.py) — trains the custom model, and asserts the final
+val MAE against a threshold (criterion style per the reference's overfit
+gate, overfit_check.py:117). A regression anywhere in B/C/D or the
+trainer turns this red instead of silently producing a different result
+file.
+
+Synthetic clouds: each patch is a sum of random 3-D Gaussian puffs of
+extinction β (cumulus-like, β ≤ ~0.08 m⁻¹); vertical velocity W is tied
+to the cloud structure — updraft ∝ normalized β in the cores with
+subsiding edges — so radiance → W is genuinely learnable and the trained
+MAE measures the whole pipeline, not noise-fitting. U/V are smooth
+drifts. Sequence frames evolve by advecting puff centers, mirroring the
+reference's time-folder layout (preprocessing.py:104-170).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class CloudGateConfig:
+    nz: int = 12
+    nxy: int = 32
+    n_folders: int = 8          # time folders (seq_len per sequence chunk)
+    n_samples: int = 6          # patches per folder
+    seq_len: int = 2
+    render_res: int = 32
+    out_size: int = 32
+    base_ch: int = 8
+    epochs: int = 40
+    batch_size: int = 4
+    voxel_size: float = 20.0
+    w_scale: float = 6.0        # peak updraft [m/s]
+    # Reduced-geometry calibration (CPU, 2026-08-16): val MAE converges
+    # 2.34 -> ~1.1 over 40 epochs; a broken B/C/D or trainer stalls at
+    # ~2.3+. Production geometry (PRODUCTION below) uses the round-1
+    # golden's 0.3 bar (results/cloud_synth_golden.json hit 0.23).
+    mae_threshold: float = 1.3
+    seed: int = 0
+
+
+PRODUCTION = CloudGateConfig(
+    nz=32, nxy=128, n_folders=8, n_samples=8, seq_len=2,
+    render_res=256, out_size=128, base_ch=64, epochs=10, batch_size=4,
+    mae_threshold=0.3)
+
+
+def _make_patch(rng: np.random.Generator, cfg: CloudGateConfig,
+                centers: np.ndarray):
+    """β from Gaussian puffs at ``centers`` [K, 3]; W tied to β cores."""
+    nz, nxy = cfg.nz, cfg.nxy
+    z, y, x = np.meshgrid(np.arange(nz), np.arange(nxy), np.arange(nxy),
+                          indexing="ij")
+    beta = np.zeros((nz, nxy, nxy), np.float32)
+    for cz, cy, cx, s in centers:
+        r2 = (((x - cx) / (2.2 * s)) ** 2 + ((y - cy) / (2.2 * s)) ** 2
+              + ((z - cz) / s) ** 2)
+        beta += 0.08 * np.exp(-r2).astype(np.float32)
+    beta[beta < 0.003] = 0.0
+    bmax = beta.max() or 1.0
+    core = beta / bmax
+    # updraft in cores, weak subsidence around them (mass-flux cartoon)
+    w = cfg.w_scale * (core ** 1.5) - 0.8 * cfg.w_scale * core * (1 - core)
+    u = np.full_like(beta, 2.0) + 0.5 * core
+    v = np.full_like(beta, -1.0) - 0.3 * core
+    return {"beta_ext": beta, "U": u.astype(np.float32),
+            "V": v.astype(np.float32), "W": w.astype(np.float32)}
+
+
+def synthesize_cloud_patches(root: str, cfg: CloudGateConfig) -> None:
+    """Numeric time folders of stage-A-style patch pkls; per sample the
+    puffs advect across folders so sequences carry real temporal signal."""
+    rng = np.random.default_rng(cfg.seed)
+    nxy, nz = cfg.nxy, cfg.nz
+    # per-sample initial puffs + drift velocity (voxels/frame)
+    sample_puffs = []
+    for _ in range(cfg.n_samples):
+        k = int(rng.integers(2, 5))
+        centers = np.stack([
+            rng.uniform(nz * 0.3, nz * 0.7, k),
+            rng.uniform(nxy * 0.25, nxy * 0.75, k),
+            rng.uniform(nxy * 0.25, nxy * 0.75, k),
+            rng.uniform(max(2.0, nz * 0.12), nz * 0.3, k)], axis=1)
+        drift = rng.uniform(-1.0, 1.0, size=2)
+        sample_puffs.append((centers, drift))
+    for fi in range(cfg.n_folders):
+        d = os.path.join(root, f"{1000 + 20 * fi:010d}")
+        os.makedirs(d, exist_ok=True)
+        for s, (centers, drift) in enumerate(sample_puffs):
+            c = centers.copy()
+            c[:, 1] += drift[0] * fi
+            c[:, 2] += drift[1] * fi
+            patch = _make_patch(rng, cfg, c)
+            with open(os.path.join(d, f"sample_{s:03d}.pkl"), "wb") as f:
+                pickle.dump(patch, f)
+
+
+def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
+                   out_json: Optional[str] = None,
+                   verbose: bool = True) -> dict:
+    """Full B/C/D + train + eval; returns the result dict (key
+    ``passed``). Writes ``out_json`` when given."""
+    from ..data.npz_dataset import NPZSequenceDataset
+    from ..datagen.overpass import synthesize_overpass_csv
+    from ..datagen.render_batch import render_dataset
+    from ..datagen.sequences import build_trajectory_sequences
+    from ..datagen.velocity_maps import build_velocity_maps
+    from .config import TrainConfig
+    from .loop import fit
+
+    cfg = cfg or CloudGateConfig()
+    t0 = time.time()
+    os.makedirs(work_dir, exist_ok=True)
+    patches = os.path.join(work_dir, "patches")
+    synthesize_cloud_patches(patches, cfg)
+    csv = synthesize_overpass_csv(os.path.join(work_dir, "overpass.csv"),
+                                  n_times=cfg.n_folders, n_satellites=2)
+
+    box_m = cfg.nxy * cfg.voxel_size
+    slice_h = cfg.nz * cfg.voxel_size * 0.5       # mid-cloud W slice
+    # fov sized so the ~600 km nadir camera sees the whole patch
+    fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
+    render_dataset(patches, os.path.join(work_dir, "renders"), csv,
+                   resolution=(cfg.render_res,) * 2, fov_deg=fov,
+                   voxel_size=cfg.voxel_size, verbose=verbose)
+    build_velocity_maps(patches, os.path.join(work_dir, "maps"), csv,
+                        mode="slice", resolution=(cfg.render_res,) * 2,
+                        slice_height_m=slice_h,
+                        reference_plane_z=slice_h, fov=fov,
+                        verbose=verbose)
+    npz = build_trajectory_sequences(
+        os.path.join(work_dir, "renders"), os.path.join(work_dir, "maps"),
+        os.path.join(work_dir, "cloud.npz"), seq_len=cfg.seq_len,
+        num_samples=cfg.n_samples, map_type="w",
+        map_suffix=f"slice_{int(slice_h)}m",
+        out_size=(cfg.out_size,) * 2, verbose=verbose)
+    if npz is None:
+        raise RuntimeError("stage D assembled no sequences")
+
+    tc = TrainConfig(npz_path=npz, batch_size=cfg.batch_size,
+                     epochs=cfg.epochs, checkpoint_dir="", mesh_data=1,
+                     model={"type": "custom", "base_ch": cfg.base_ch,
+                            "use_skip_lstm": True, "lstm_layers": 1})
+    res = fit(tc, dataset=NPZSequenceDataset(npz), verbose=verbose)
+    hist = res["history"]
+    final_mae = float(hist[-1]["val_mae"])
+    first_mae = float(hist[0]["val_mae"])
+    result = {
+        "config": {k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
+        "final_val_mae": final_mae,
+        "final_val_rmse": float(hist[-1]["val_rmse"]),
+        "first_epoch_val_mae": first_mae,
+        "improved": final_mae < first_mae,
+        "mae_threshold": cfg.mae_threshold,
+        "passed": final_mae < cfg.mae_threshold and final_mae < first_mae,
+        "wall_s": time.time() - t0,
+        "history": hist,
+    }
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=2)
+    if verbose:
+        print(f"[cloud-gate] val MAE {first_mae:.3f} -> {final_mae:.3f} "
+              f"(threshold {cfg.mae_threshold}) "
+              f"{'PASSED' if result['passed'] else 'FAILED'}")
+    return result
