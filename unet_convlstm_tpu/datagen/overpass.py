@@ -140,3 +140,18 @@ def sun_direction(zenith_deg: float, azimuth_deg: float) -> np.ndarray:
     return np.array([-np.sin(ze) * np.sin(az),
                      -np.sin(ze) * np.cos(az),
                      np.cos(ze)], np.float64)
+
+
+def legacy_sun_direction(zenith_deg: float, azimuth_deg: float
+                         ) -> np.ndarray:
+    """The legacy udi renderer's alternate sun formula
+    (render_from_udi_class.py:213-217):
+    [-sin(az), cos(az), -1/tan(180° - zenith)], normalized (Mitsuba
+    normalizes directional-emitter directions). Differs from the current
+    formula in both the horizontal sign convention and the zenith
+    parameterization — kept for byte-compatible re-rendering of legacy
+    datasets."""
+    az = np.deg2rad(azimuth_deg)
+    z = -1.0 / np.tan(np.deg2rad(180.0 - zenith_deg))
+    d = np.array([-np.sin(az), np.cos(az), z], np.float64)
+    return d / np.linalg.norm(d)

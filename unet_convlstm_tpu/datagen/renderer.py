@@ -141,6 +141,27 @@ def sun_transmittance(scene: VolumeScene, sun_dir,
         jnp.asarray(sun_dir, jnp.float32), float(step), n_steps)
 
 
+def legacy_sensor_rotation(origin, target, up, sat_zenith_deg: float,
+                           sat_azimuth_deg: float):
+    """The legacy udi renderer's extra per-sensor rotation
+    (render_from_udi_class.py:102-119): ``rotate(axis=[cos az, sin az, 0],
+    angle=zenith)`` composed LEFT of the look_at, i.e. the whole camera —
+    position and orientation — rotates about the world origin (the cloud
+    center). Equivalent look_at inputs: (R·origin, R·target, R·up).
+    Returns the rotated (origin, target, up) to feed make_camera_rays.
+    The reference's own comment questions this rotation ("why udi add
+    this extra rotation") and its current renderer dropped it; provided
+    for re-rendering legacy datasets only."""
+    az = np.deg2rad(sat_azimuth_deg)
+    axis = np.array([np.cos(az), np.sin(az), 0.0], np.float64)
+    ang = np.deg2rad(sat_zenith_deg)
+    k = axis / np.linalg.norm(axis)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    rot = lambda v: (R @ np.asarray(v, np.float64)).astype(np.float32)
+    return rot(origin), rot(target), rot(up)
+
+
 @partial(jax.jit, static_argnames=("orders",))
 def multiple_scatter_fluence(beta, t_sun, step, albedo: float,
                              irradiance: float, orders: int) -> jax.Array:
