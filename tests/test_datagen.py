@@ -186,8 +186,9 @@ def _write_render_tree(root_img, root_map, n_folders=2, n_samples=2,
                         "wb") as f:
                     pickle.dump({"render": r, "timestamp": k,
                                  "satellite_idx": view}, f)
-            maps = {f"{c}_map": np.full((res, res), float(s), np.float32)
-                    for c in "uvw"}
+            maps = {f"{c}_map": np.full((res, res), float(s + 7 * i),
+                                        np.float32)
+                    for i, c in enumerate("uvw")}
             maps["w_map"][0, 1] = np.nan
             with open(os.path.join(
                     fm, f"sample_{s:03d}_time_{k}_view_0_slice_1000m.pkl"),
@@ -212,6 +213,28 @@ def test_build_trajectory_sequences(tmp_path):
     assert s0[0, 0] == pytest.approx(0.0 * 3 / 4)  # sample 0 view 0: value 0
     s1 = data["X"][1, 0, 0]   # sample 1 view 0: value 1 with one NaN→0
     assert s1[0, 0] == pytest.approx(3 / 4)
+    assert np.all(np.isfinite(data["Y"]))
+
+
+def test_build_trajectory_sequences_wvu_multichannel(tmp_path):
+    """map_type='wvu' stacks one target channel per letter, in order —
+    the 3-channel configuration (BASELINE.json configs[3])."""
+    root_img = str(tmp_path / "img")
+    root_map = str(tmp_path / "map")
+    _write_render_tree(root_img, root_map)
+    out = build_trajectory_sequences(
+        root_img, root_map, str(tmp_path / "ds.npz"), seq_len=2,
+        num_samples=2, map_type="wvu", map_suffix="slice_1000m",
+        out_size=(4, 4), verbose=False)
+    assert out and out.endswith("_wvu.npz")
+    data = np.load(out)
+    assert data["Y"].shape == (2, 2, 3, 4, 4)
+    # channel order follows the map_type string: w, v, u
+    # (helper writes u=s, v=s+7, w=s+14; pixel [1,1] is NaN-free)
+    for s in (0, 1):
+        assert data["Y"][s, 0, 0, 1, 1] == pytest.approx(s + 14)  # w
+        assert data["Y"][s, 0, 1, 1, 1] == pytest.approx(s + 7)   # v
+        assert data["Y"][s, 0, 2, 1, 1] == pytest.approx(s)       # u
     assert np.all(np.isfinite(data["Y"]))
 
 

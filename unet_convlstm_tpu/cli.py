@@ -252,10 +252,15 @@ def cmd_convert_checkpoint(args):
 def cmd_cloud_gate(args):
     """Thresholded synthetic-cloud acceptance run over the full B/C/D +
     training pipeline (see train/cloud_gate.py)."""
-    from .train.cloud_gate import (PRODUCTION, CloudGateConfig,
-                                   run_cloud_gate)
+    import dataclasses
+
+    from .train.cloud_gate import (PRODUCTION, PRODUCTION_WVU,
+                                   CloudGateConfig, run_cloud_gate)
 
     cfg = PRODUCTION if args.production else CloudGateConfig()
+    if args.wvu:
+        cfg = (PRODUCTION_WVU if args.production else
+               dataclasses.replace(cfg, map_type="wvu", use_mask=True))
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
     raise SystemExit(0 if res["passed"] else 1)
 
@@ -393,6 +398,8 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--out", default=None, help="result json path")
     cg.add_argument("--production", action="store_true",
                     help="production geometry (128², base_ch 64; TPU)")
+    cg.add_argument("--wvu", action="store_true",
+                    help="3-channel u/v/w target (cloud_wvu.json family)")
     cg.set_defaults(fn=cmd_cloud_gate)
     return p
 

@@ -52,6 +52,7 @@ class NPZSequenceDataset:
                  y_transform_scale: Optional[float] = None,
                  y_transform_percentile: Optional[float] = 99,
                  stats: Optional[NormStats] = None,
+                 mask_threshold: float = 1.1,
                  mmap: bool = False):
         if mmap:
             self.X, self.Y = self._mmap_arrays(npz_path)
@@ -76,7 +77,8 @@ class NPZSequenceDataset:
                      "clip_outliers": clip_outliers,
                      "y_transform": y_transform,
                      "y_transform_scale": y_transform_scale,
-                     "y_transform_percentile": y_transform_percentile}
+                     "y_transform_percentile": y_transform_percentile,
+                     "mask_threshold": mask_threshold}
         if stats is not None:
             self.stats = stats
         else:

@@ -63,10 +63,14 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
                                out_size: Tuple[int, int] = (128, 128),
                                max_chunks: Optional[int] = None,
                                verbose: bool = True) -> Optional[str]:
-    """Build X[N,T,2,H,W] / Y[N,T,1,H,W] from render + map pkl trees.
+    """Build X[N,T,2,H,W] / Y[N,T,C,H,W] from render + map pkl trees.
 
-    Returns the written npz path (map-type suffixed) or None if nothing
-    assembled."""
+    ``map_type`` selects the target channels: a single letter ("w"/"u"/"v",
+    the reference's MAP_TYPE, build_sequences.py:20,119 — C=1) or a
+    multi-letter string like "wvu" stacking one channel per letter in order
+    (C=len(map_type); the multi-channel trainer config, BASELINE.json
+    configs[3]). Returns the written npz path (map-type suffixed) or None
+    if nothing assembled."""
     log = print if verbose else (lambda *a, **k: None)
     folders = sorted((f for f in os.listdir(root_images) if f.isdigit()),
                      key=int)
@@ -77,7 +81,7 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
 
     X_list: List[np.ndarray] = []
     Y_list: List[np.ndarray] = []
-    map_key = f"{map_type}_map"
+    map_keys = [f"{c}_map" for c in map_type]
 
     for start in chunk_starts:
         batch = folders[start:start + seq_len]
@@ -102,15 +106,16 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
                         r1 = pickle.load(f)["render"]
                     with open(fm, "rb") as f:
                         dm = pickle.load(f)
-                    if map_key not in dm:
+                    if any(k not in dm for k in map_keys):
                         ok = False
                         break
                     img = np.stack([np.nan_to_num(r0, nan=0.0),
                                     np.nan_to_num(r1, nan=0.0)])
                     img = _area_resize_np(img, out_size).astype(np.float32)
                     tgt = _area_resize_np(
-                        np.nan_to_num(dm[map_key], nan=0.0),
-                        out_size)[None].astype(np.float32)
+                        np.stack([np.nan_to_num(dm[k], nan=0.0)
+                                  for k in map_keys]),
+                        out_size).astype(np.float32)
                     xs.append(img)
                     ys.append(tgt)
                 except Exception as e:  # corrupt pkl — skip sequence

@@ -44,6 +44,15 @@ class EvalReport:
     err_hist: np.ndarray
     scatter_gt: np.ndarray             # balanced scatter sample
     scatter_pred: np.ndarray
+    # Per-output-channel stats (C=1 for the reference's single W map; the
+    # multi-channel WVU config, BASELINE.json configs[3], reports one row
+    # per channel). scatter_channel tags each scatter point with its
+    # channel so callers can draw per-channel balanced scatters.
+    mae_per_channel: Optional[np.ndarray] = None        # [C]
+    rmse_per_channel: Optional[np.ndarray] = None       # [C]
+    bias_per_channel: Optional[np.ndarray] = None       # [C]
+    err_std_per_channel: Optional[np.ndarray] = None    # [C]
+    scatter_channel: Optional[np.ndarray] = None        # like scatter_gt
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -84,6 +93,12 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
         axes = (0, 2, 3, 4)
         t_n = jnp.sum(m, axis=axes)
         t_abs = jnp.sum(jnp.abs(diff) * m, axis=axes)
+        # per-channel sums (reference has C=1; WVU config reports u/v/w rows)
+        caxes = (0, 1, 2, 3)
+        c_sums = jnp.stack([jnp.sum(m, axis=caxes),
+                            jnp.sum(jnp.abs(diff) * m, axis=caxes),
+                            jnp.sum(diff * diff * m, axis=caxes),
+                            jnp.sum(diff * m, axis=caxes)])  # [4, C]
         # histograms (weighted by the mask so invalid pixels drop out)
         gt_hist = jnp.histogram(gt_d, bins=hist_bins, range=(lo, hi),
                                 weights=m)[0]
@@ -95,7 +110,7 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
         pred_s = jnp.take(pred_d.ravel(), sample_idx)
         gt_s = jnp.take(gt_d.ravel(), sample_idx)
         m_s = jnp.take(m.ravel(), sample_idx)
-        return sums, t_n, t_abs, gt_hist, pred_hist, err_hist, \
+        return sums, c_sums, t_n, t_abs, gt_hist, pred_hist, err_hist, \
             pred_s, gt_s, m_s
 
     return batch_fn
@@ -144,13 +159,15 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
     loader = SequenceLoader(dataset, indices, batch_size, shuffle=False)
 
     T = dataset.T
+    C = dataset.Y.shape[2] if dataset.Y.ndim >= 3 else 1
     sums = np.zeros(4)
+    c_sums = np.zeros((4, C))
     t_n = np.zeros(T)
     t_abs = np.zeros(T)
     gt_h = np.zeros(hist_bins)
     pr_h = np.zeros(hist_bins)
     er_h = np.zeros(hist_bins)
-    sc_gt, sc_pred = [], []
+    sc_gt, sc_pred, sc_ch = [], [], []
     rng = np.random.default_rng(seed)
 
     from ..data.pipeline import pad_batch
@@ -160,11 +177,13 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
         x_raw, y_raw, n_valid = pad_batch(x_raw, y_raw, batch_size)
         n_px = int(np.prod(y_raw.shape))
         budget = min(scatter_budget_per_batch, n_px)
-        sample_idx = jnp.asarray(rng.choice(n_px, budget, replace=False))
+        sample_idx_np = rng.choice(n_px, budget, replace=False)
+        sample_idx = jnp.asarray(sample_idx_np)
         out = batch_fn(variables, jnp.asarray(x_raw), jnp.asarray(y_raw),
                        sample_idx, n_valid)
-        s, tn, ta, gh, ph, eh, pred_s, gt_s, m_s = jax.device_get(out)
+        s, cs, tn, ta, gh, ph, eh, pred_s, gt_s, m_s = jax.device_get(out)
         sums += s
+        c_sums += cs
         t_n += tn
         t_abs += ta
         gt_h += gh
@@ -174,6 +193,9 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
         if keep.any():
             sc_gt.append(gt_s[keep])
             sc_pred.append(pred_s[keep])
+            # the raveled layout is [..., C] with C fastest, so the channel
+            # of a flat position is idx % C
+            sc_ch.append((sample_idx_np % C)[keep])
 
     n = max(sums[0], 1e-12)
     mae = sums[1] / n
@@ -183,7 +205,25 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
 
     gt_all = np.concatenate(sc_gt) if sc_gt else np.empty(0)
     pred_all = np.concatenate(sc_pred) if sc_pred else np.empty(0)
-    s_gt, s_pred = balanced_scatter_sample(gt_all, pred_all, seed=seed)
+    ch_all = np.concatenate(sc_ch) if sc_ch else np.empty(0, np.int64)
+    # balanced scatter per channel (C=1 reproduces the reference's single
+    # scatter, get_metrics.py:205-240)
+    s_gt_parts, s_pred_parts, s_ch_parts = [], [], []
+    for c in range(C):
+        in_c = ch_all == c
+        g, p = balanced_scatter_sample(gt_all[in_c], pred_all[in_c],
+                                       seed=seed)
+        s_gt_parts.append(g)
+        s_pred_parts.append(p)
+        s_ch_parts.append(np.full(len(g), c, np.int64))
+    s_gt = np.concatenate(s_gt_parts) if s_gt_parts else np.empty(0)
+    s_pred = np.concatenate(s_pred_parts) if s_pred_parts else np.empty(0)
+    s_ch = np.concatenate(s_ch_parts) if s_ch_parts else np.empty(0, np.int64)
+
+    c_n = np.maximum(c_sums[0], 1e-12)
+    c_mae = c_sums[1] / c_n
+    c_mse = c_sums[2] / c_n
+    c_bias = c_sums[3] / c_n
 
     lo, hi = hist_range
     elo, ehi = err_range
@@ -194,4 +234,8 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
         hist_bins=np.linspace(lo, hi, hist_bins + 1),
         gt_hist=gt_h, pred_hist=pr_h,
         err_bins=np.linspace(elo, ehi, hist_bins + 1), err_hist=er_h,
-        scatter_gt=s_gt, scatter_pred=s_pred)
+        scatter_gt=s_gt, scatter_pred=s_pred,
+        mae_per_channel=c_mae, rmse_per_channel=np.sqrt(c_mse),
+        bias_per_channel=c_bias,
+        err_std_per_channel=np.sqrt(np.maximum(c_mse - c_bias ** 2, 0.0)),
+        scatter_channel=s_ch)

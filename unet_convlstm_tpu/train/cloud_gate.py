@@ -26,6 +26,7 @@ import json
 import os
 import pickle
 import time
+import dataclasses
 from dataclasses import dataclass
 from typing import Optional
 
@@ -52,12 +53,29 @@ class CloudGateConfig:
     # golden's 0.3 bar (results/cloud_synth_golden.json hit 0.23).
     mae_threshold: float = 1.3
     seed: int = 0
+    # target channels: "w" (reference MAP_TYPE, C=1) or a multi-letter
+    # string like "wvu" (the 3-channel config, BASELINE.json configs[3])
+    map_type: str = "w"
+    use_mask: bool = False
+    # The reference's 1.1 radiance threshold (unet.py:279) is calibrated
+    # for Mitsuba spp-8192 renders (in-cloud pixels ≫ 1.1). The synthetic
+    # gate's single/multi-scatter renders peak near ~1.0, so a masked run
+    # needs a threshold that actually selects cloudy pixels.
+    mask_threshold: float = 0.35
 
 
 PRODUCTION = CloudGateConfig(
     nz=32, nxy=128, n_folders=8, n_samples=8, seq_len=2,
     render_res=256, out_size=128, base_ch=64, epochs=10, batch_size=4,
     mae_threshold=0.3)
+
+# The multi-channel u/v/w configuration (cloud_wvu.json family): 3 output
+# channels, mask on (reference main.py:219 USE_MASK toggle; per-channel
+# eval rows come from eval.metrics per-channel sums). The horizontal
+# drifts u/v are near-constant fields, so the MAE bar stays at the W bar —
+# u/v converge faster than w.
+PRODUCTION_WVU = dataclasses.replace(
+    PRODUCTION, map_type="wvu", use_mask=True, mae_threshold=0.3)
 
 
 def _make_patch(rng: np.random.Generator, cfg: CloudGateConfig,
@@ -146,7 +164,7 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     npz = build_trajectory_sequences(
         os.path.join(work_dir, "renders"), os.path.join(work_dir, "maps"),
         os.path.join(work_dir, "cloud.npz"), seq_len=cfg.seq_len,
-        num_samples=cfg.n_samples, map_type="w",
+        num_samples=cfg.n_samples, map_type=cfg.map_type,
         map_suffix=f"slice_{int(slice_h)}m",
         out_size=(cfg.out_size,) * 2, verbose=verbose)
     if npz is None:
@@ -154,9 +172,23 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
 
     tc = TrainConfig(npz_path=npz, batch_size=cfg.batch_size,
                      epochs=cfg.epochs, checkpoint_dir="", mesh_data=1,
+                     use_mask=cfg.use_mask,
+                     mask_threshold=cfg.mask_threshold,
                      model={"type": "custom", "base_ch": cfg.base_ch,
+                            "out_channels": len(cfg.map_type),
                             "use_skip_lstm": True, "lstm_layers": 1})
-    res = fit(tc, dataset=NPZSequenceDataset(npz), verbose=verbose)
+    ds = NPZSequenceDataset(npz, mask_threshold=cfg.mask_threshold)
+    if cfg.use_mask:
+        frac = float((ds.X[:, :, 0:1] > cfg.mask_threshold).mean())
+        if frac == 0.0:
+            raise RuntimeError(
+                f"mask_threshold={cfg.mask_threshold} selects no pixels "
+                f"(render max {ds.X.max():.3f}) — masked loss/metrics "
+                "would be vacuously 0; lower the threshold")
+        if verbose:
+            print(f"[cloud-gate] mask fraction {frac:.3f} "
+                  f"at threshold {cfg.mask_threshold}")
+    res = fit(tc, dataset=ds, verbose=verbose)
     hist = res["history"]
     final_mae = float(hist[-1]["val_mae"])
     first_mae = float(hist[0]["val_mae"])

@@ -29,6 +29,9 @@ class TrainConfig:
     plateau_factor: float = 0.5
     plateau_patience: int = 3
     use_mask: bool = False        # reference main.py:219
+    # raw-radiance cloud threshold (reference unet.py:279 hardcodes 1.1;
+    # plots/show_sequences.py exists to tune it — here it is a config knob)
+    mask_threshold: float = 1.1
     # model (type-dispatched; reference main.py:213, 224-228)
     model: Dict[str, Any] = dataclasses.field(default_factory=lambda: {
         "type": "custom", "base_ch": 64, "use_attention": False,

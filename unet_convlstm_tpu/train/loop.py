@@ -82,7 +82,8 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
 
     if dataset is None:
         dataset = NPZSequenceDataset(cfg.npz_path, min_y=cfg.min_y,
-                                     max_y=cfg.max_y)
+                                     max_y=cfg.max_y,
+                                     mask_threshold=cfg.mask_threshold)
     train_idx, val_idx = dataset.train_val_split(cfg.train_frac,
                                                  cfg.split_seed)
     log(f"Dataset: N={len(dataset)} T={dataset.T} {dataset.H}x{dataset.W} "
