@@ -221,11 +221,13 @@ def resnet_unet_init_state(cfg: ResNetUNetConfig, batch: int, height: int,
 
 
 def _to_time_major(x_bt, B, T):
-    return x_bt.reshape(B, T, *x_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
+    """Free reshape: the conv path runs time-major ([T*B, ...]) so every
+    scan boundary avoids an HBM transpose (see temporal_unet.py)."""
+    return x_bt.reshape(T, B, *x_bt.shape[1:])
 
 
 def _to_batch_major(x_tm, B, T):
-    return x_tm.transpose(1, 0, 2, 3, 4).reshape(B * T, *x_tm.shape[2:])
+    return x_tm.reshape(T * B, *x_tm.shape[2:])
 
 
 def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
@@ -239,7 +241,9 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
     new_stats). H, W must be divisible by 32."""
     params, stats = variables["params"], variables["stats"]
     B, T = x_seq.shape[0], x_seq.shape[1]
-    x_bt = x_seq.reshape(B * T, *x_seq.shape[2:])
+    # time-major layout throughout (one transpose of the thin input; BN
+    # batch stats are order-invariant)
+    x_bt = x_seq.transpose(1, 0, 2, 3, 4).reshape(T * B, *x_seq.shape[2:])
 
     enc_train = train and (not cfg.freeze_encoder or cfg.encoder_bn_train)
     enc_apply = (jax.checkpoint(resnet18_encoder_apply,
@@ -272,5 +276,5 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
 
     y_bt, dec_ns = decoder_apply(params["decoder"], stats["decoder"], feats,
                                  train, policy)
-    y_seq = y_bt.reshape(B, T, *y_bt.shape[1:])
+    y_seq = y_bt.reshape(T, B, *y_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
     return y_seq, new_state, {"encoder": enc_ns, "decoder": dec_ns}

@@ -143,13 +143,16 @@ def _decode(params, stats, xb_bt, skips_bt, cfg: TemporalUNetConfig,
 
 
 def _to_time_major(x_bt, B: int, T: int):
-    """[B*T, h, w, c] → [T, B, h, w, c]."""
-    return x_bt.reshape(B, T, *x_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
+    """[T*B, h, w, c] (time-major flattened) → [T, B, h, w, c] — a free
+    reshape: the whole conv path runs time-major so the scan boundary costs
+    no transpose (the round-1 layout paid an HBM copy per skip level here,
+    fwd and bwd)."""
+    return x_bt.reshape(T, B, *x_bt.shape[1:])
 
 
 def _to_batch_major(x_tm, B: int, T: int):
-    """[T, B, h, w, c] → [B*T, h, w, c]."""
-    return x_tm.transpose(1, 0, 2, 3, 4).reshape(B * T, *x_tm.shape[2:])
+    """[T, B, h, w, c] → [T*B, h, w, c] (free reshape)."""
+    return x_tm.reshape(T * B, *x_tm.shape[2:])
 
 
 def temporal_unet_apply(variables, x_seq: jax.Array,
@@ -169,8 +172,12 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
     params, stats = variables["params"], variables["stats"]
     B, T = x_seq.shape[0], x_seq.shape[1]
 
-    # --- Encoder, batched over B*T (MXU-friendly) ---
-    x_bt = x_seq.reshape(B * T, *x_seq.shape[2:])
+    # --- Encoder, batched over all T*B frames (MXU-friendly) ---
+    # One transpose of the (small, in_ch=2) input puts the whole network in
+    # time-major layout; every later scan boundary is then a free reshape.
+    # BatchNorm batch statistics are order-invariant, so this is
+    # numerically the same computation as the batch-major layout.
+    x_bt = x_seq.transpose(1, 0, 2, 3, 4).reshape(T * B, *x_seq.shape[2:])
     encode = (jax.checkpoint(_encode, static_argnums=(3, 4, 5))
               if remat else _encode)
     xb, skips, enc_stats = encode(params, stats, x_bt, cfg, train, policy)
@@ -206,6 +213,7 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
     y_bt, dec_stats = _decode(params, stats, xb_bt.astype(x_bt.dtype),
                               (x3, x2, x1, x0), cfg, train, policy)
 
-    y_seq = y_bt.reshape(B, T, *y_bt.shape[1:])
+    # back to batch-major only at the (small, out_ch-wide) output
+    y_seq = y_bt.reshape(T, B, *y_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
     new_stats = {**enc_stats, **dec_stats}
     return y_seq, new_state, new_stats

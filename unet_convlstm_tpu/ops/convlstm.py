@@ -42,16 +42,25 @@ def convlstm_cell_init(key, input_dim: int, hidden_dim: int,
 
 
 def _gate_update(gates: jax.Array, c: jax.Array, hidden_dim: int,
-                 use_pallas: bool = False) -> Carry:
+                 use_pallas: bool = False,
+                 accum_dtype=jnp.float32) -> Carry:
+    """Gate nonlinearities + state update, computed in ``accum_dtype``.
+
+    ``gates`` arrives in the conv's compute dtype (bf16 under the default
+    policy); each gate is upcast inside this elementwise chain so the
+    recurrence math runs in f32 without ever materializing a wide gate
+    tensor in HBM."""
     if use_pallas:
         from .pallas.convlstm_fused import fused_gate_update
-        return fused_gate_update(gates, c)
+        # gates stay in the conv's compute dtype — the kernel upcasts in
+        # VMEM and its VJP saves only (gates, c), not f32 activations
+        return fused_gate_update(gates, c.astype(accum_dtype))
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    g = jnp.tanh(g)
-    o = jax.nn.sigmoid(o)
-    c_next = f * c + i * g
+    i = jax.nn.sigmoid(i.astype(accum_dtype))
+    f = jax.nn.sigmoid(f.astype(accum_dtype))
+    g = jnp.tanh(g.astype(accum_dtype))
+    o = jax.nn.sigmoid(o.astype(accum_dtype))
+    c_next = f * c.astype(accum_dtype) + i * g
     h_next = o * jnp.tanh(c_next)
     return h_next, c_next
 
@@ -70,14 +79,46 @@ def convlstm_cell_step(params, x: jax.Array, carry: Carry,
     """One recurrent step. x: [B,H,W,Cin]; carry h,c: [B,H,W,hidden]."""
     h, c = carry
     hidden_dim = h.shape[-1]
+    # The conv output stays in the compute dtype; the upcast to f32 happens
+    # per-gate INSIDE the elementwise update chain (_gate_update), where XLA
+    # fuses it for free. An `.astype(f32)` here instead materializes the
+    # full [B,H,W,4*hidden] gate tensor at double width in HBM every scan
+    # step (measured: ~7 ms/step of pure f32 gate traffic at the bench
+    # config) for zero precision gain — the values are bf16 either way.
     gates = conv2d(params["conv"],
                    jnp.concatenate([x, h.astype(x.dtype)], axis=-1),
-                   policy=policy).astype(policy.accum_dtype)
-    # [B,H,W,4*hidden] — upcast to f32 (fused into the conv epilogue) so the
-    # recurrence update runs in full precision.
-    h_next, c_next = _gate_update(gates, c, hidden_dim, use_pallas)
+                   policy=policy)
+    h_next, c_next = _gate_update(gates, c, hidden_dim, use_pallas,
+                                  accum_dtype=policy.accum_dtype)
     h_next = h_next.astype(_h_dtype(policy))
     return h_next, (h_next, c_next)
+
+
+def _recurrent_step_preprojected(params_h, x_proj_t, carry: Carry,
+                                 hidden_dim: int, policy: Policy,
+                                 use_pallas: bool) -> Tuple[jax.Array, Carry]:
+    """Scan body when the input projection was hoisted out of the loop:
+    gates_t = x_proj_t + conv(h_{t-1}, W_h).  Exactly the same math as the
+    fused conv over concat([x, h]) — a convolution is linear in its input
+    channels, so conv(concat(x,h), W) ≡ conv(x, W_x) + conv(h, W_h)."""
+    h, c = carry
+    gates = x_proj_t + conv2d(params_h, h, policy=policy)
+    h_next, c_next = _gate_update(gates, c, hidden_dim, use_pallas,
+                                  accum_dtype=policy.accum_dtype)
+    h_next = h_next.astype(_h_dtype(policy))
+    return h_next, (h_next, c_next)
+
+
+def _hoist_input_projection(w_bytes_x: int, gate_step_bytes: int) -> bool:
+    """Hoisting the input half of the gate conv out of the scan trades
+    T re-reads of W_x for one write + one read of the pre-projected gate
+    sequence (T · gate_step_bytes each). Worth it exactly when the weight
+    traffic saved exceeds the activation traffic added — true for
+    bottleneck-type cells (big channels, tiny spatial), false for skip
+    cells (small weights, big maps). Measured on v5e: the 19M-param
+    bottleneck cell's weight re-reads alone were ~6 ms/step at the bench
+    config."""
+    return w_bytes_x > 2 * gate_step_bytes
 
 
 def convlstm_zero_state(batch: int, height: int, width: int, hidden_dim: int,
@@ -126,14 +167,48 @@ def convlstm(params, x_seq: jax.Array,
 
     out = x_seq
     new_states: List[Carry] = []
+    itemsize = jnp.dtype(policy.compute_dtype).itemsize
     for l in range(num_layers):
-        layer_params = params[f"layer{l}"]
+        # Hoist the param f32→bf16 cast out of the scan: without the
+        # optimization barrier XLA re-materializes the cast of the (large)
+        # gate kernel inside EVERY unrolled step (measured: ~5.7 ms/step of
+        # redundant weight-cast traffic at the bench config — the
+        # bottleneck cell kernel alone is 19M params).
+        layer_params = jax.lax.optimization_barrier(
+            jax.tree_util.tree_map(policy.cast_param, params[f"layer{l}"]))
 
-        def step(carry, x_t, _p=layer_params):
-            h_t, carry = convlstm_cell_step(_p, x_t, carry, policy, use_pallas)
-            return carry, h_t
+        w = layer_params["conv"]["w"]          # [kh, kw, Cin+hidden, 4*hidden]
+        in_dim = w.shape[2] - hidden_dim
+        w_x_bytes = w.shape[0] * w.shape[1] * in_dim * w.shape[3] * itemsize
+        gate_step_bytes = (B * H * W * 4 * hidden_dim) * itemsize
 
-        final_carry, out = jax.lax.scan(step, state[l], out,
-                                        unroll=unroll)
+        if _hoist_input_projection(w_x_bytes, gate_step_bytes):
+            # Split the gate conv: the input half runs ONCE over all T*B
+            # frames (weights read once, MXU-batched); only the recurrent
+            # half stays in the scan. conv is linear in input channels, so
+            # this is exactly conv(concat(x, h), W) + b.
+            p_x = {"w": w[:, :, :in_dim, :], "b": layer_params["conv"]["b"]} \
+                if "b" in layer_params["conv"] else {"w": w[:, :, :in_dim, :]}
+            p_h = {"w": w[:, :, in_dim:, :]}
+            T_ = out.shape[0]
+            x_proj = conv2d(p_x, out.reshape(T_ * B, H, W, in_dim),
+                            policy=policy)
+            x_proj = x_proj.reshape(T_, B, H, W, 4 * hidden_dim)
+
+            def step(carry, xp_t, _ph=p_h):
+                h_t, carry = _recurrent_step_preprojected(
+                    _ph, xp_t, carry, hidden_dim, policy, use_pallas)
+                return carry, h_t
+
+            final_carry, out = jax.lax.scan(step, state[l], x_proj,
+                                            unroll=unroll)
+        else:
+            def step(carry, x_t, _p=layer_params):
+                h_t, carry = convlstm_cell_step(_p, x_t, carry, policy,
+                                                use_pallas)
+                return carry, h_t
+
+            final_carry, out = jax.lax.scan(step, state[l], out,
+                                            unroll=unroll)
         new_states.append(final_carry)
     return out, new_states

@@ -6,20 +6,28 @@ elementwise block (reference behavior, train/unet.py:28-36):
     i,f,o = sigmoid(gates[..0C,1C,3C..]); g = tanh(gates[..2C..])
     c' = f*c + i*g ; h' = o*tanh(c')
 
-The conv is MXU work that XLA already schedules optimally; the win here is
-keeping the 4C-wide gate tensor + (h, c) VMEM-resident for the whole
-elementwise chain (one HBM read of gates/c, one write of h'/c', zero
-intermediate traffic).  Forward and backward are both Pallas kernels wired
-through ``jax.custom_vjp`` so the op trains.
+The conv is MXU work that XLA already schedules optimally; the wins here:
+
+* the 4C-wide gate tensor + (h, c) stay VMEM-resident for the whole
+  elementwise chain (one HBM read of gates/c, one write of h'/c', zero
+  intermediate traffic);
+* mixed precision without wide HBM tensors: gates arrive in the conv's
+  compute dtype (bf16 under the default policy) and are upcast INSIDE the
+  kernel — the math runs in f32, but no f32 gate tensor ever exists in HBM;
+* the custom VJP saves only (gates[bf16], c[f32]) as residuals and
+  recomputes the activations in the backward kernel. XLA's default AD for
+  the same chain stacks the four f32 activation tensors per scan step —
+  measured ~7 ms/step of pure f32 residual traffic at the bench config.
+
+Forward and backward are both Pallas kernels wired through
+``jax.custom_vjp`` so the op trains.
 
 The wrapper falls back to plain XLA elementwise (which fuses well too) when
-the channel count is not lane-aligned (C % 128 != 0) or shapes are tiny —
-keeps unit tests and small configs robust.
+the channel count is not lane-aligned (C % 128 != 0) or the dtype is
+unsupported — keeps unit tests and small configs robust.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,39 +38,40 @@ _TILE_N = 256  # rows (B*H*W pixels) per grid step
 
 
 # ---------------------------------------------------------------------------
-# Kernels
+# Kernels (compute in f32 regardless of the gate storage dtype)
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(gates_ref, c_ref, h_out_ref, c_out_ref):
     C = c_ref.shape[-1]
-    g_all = gates_ref[:]
+    g_all = gates_ref[:].astype(jnp.float32)
     i = jax.nn.sigmoid(g_all[:, 0 * C:1 * C])
     f = jax.nn.sigmoid(g_all[:, 1 * C:2 * C])
     g = jnp.tanh(g_all[:, 2 * C:3 * C])
     o = jax.nn.sigmoid(g_all[:, 3 * C:4 * C])
-    c_next = f * c_ref[:] + i * g
-    c_out_ref[:] = c_next
-    h_out_ref[:] = o * jnp.tanh(c_next)
+    c_next = f * c_ref[:].astype(jnp.float32) + i * g
+    c_out_ref[:] = c_next.astype(c_out_ref.dtype)
+    h_out_ref[:] = (o * jnp.tanh(c_next)).astype(h_out_ref.dtype)
 
 
 def _bwd_kernel(gates_ref, c_ref, dh_ref, dc_out_ref,
                 dgates_ref, dc_ref):
     C = c_ref.shape[-1]
-    g_all = gates_ref[:]
+    g_all = gates_ref[:].astype(jnp.float32)
     i = jax.nn.sigmoid(g_all[:, 0 * C:1 * C])
     f = jax.nn.sigmoid(g_all[:, 1 * C:2 * C])
     g = jnp.tanh(g_all[:, 2 * C:3 * C])
     o = jax.nn.sigmoid(g_all[:, 3 * C:4 * C])
-    c = c_ref[:]
+    c = c_ref[:].astype(jnp.float32)
     c_next = f * c + i * g
     tc = jnp.tanh(c_next)
-    dh = dh_ref[:]
-    dc_next = dc_out_ref[:] + dh * o * (1.0 - tc * tc)
-    dgates_ref[:, 0 * C:1 * C] = dc_next * g * i * (1.0 - i)
-    dgates_ref[:, 1 * C:2 * C] = dc_next * c * f * (1.0 - f)
-    dgates_ref[:, 2 * C:3 * C] = dc_next * i * (1.0 - g * g)
-    dgates_ref[:, 3 * C:4 * C] = dh * tc * o * (1.0 - o)
-    dc_ref[:] = dc_next * f
+    dh = dh_ref[:].astype(jnp.float32)
+    dc_next = dc_out_ref[:].astype(jnp.float32) + dh * o * (1.0 - tc * tc)
+    dt = dgates_ref.dtype
+    dgates_ref[:, 0 * C:1 * C] = (dc_next * g * i * (1.0 - i)).astype(dt)
+    dgates_ref[:, 1 * C:2 * C] = (dc_next * c * f * (1.0 - f)).astype(dt)
+    dgates_ref[:, 2 * C:3 * C] = (dc_next * i * (1.0 - g * g)).astype(dt)
+    dgates_ref[:, 3 * C:4 * C] = (dh * tc * o * (1.0 - o)).astype(dt)
+    dc_ref[:] = (dc_next * f).astype(dc_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +108,8 @@ def _fwd_2d(gates2d, c2d):
             pl.BlockSpec((_TILE_N, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(c2d.shape, c2d.dtype),
+            # h in the gate/compute dtype, c in the carry dtype (f32)
+            jax.ShapeDtypeStruct(c2d.shape, gates2d.dtype),
             jax.ShapeDtypeStruct(c2d.shape, c2d.dtype),
         ],
         interpret=_interpret(),
@@ -143,12 +153,13 @@ def _bwd_2d(gates2d, c2d, dh2d, dcout2d):
 
 def _xla_gate_update(gates, c):
     C = c.shape[-1]
-    i = jax.nn.sigmoid(gates[..., 0 * C:1 * C])
-    f = jax.nn.sigmoid(gates[..., 1 * C:2 * C])
-    g = jnp.tanh(gates[..., 2 * C:3 * C])
-    o = jax.nn.sigmoid(gates[..., 3 * C:4 * C])
-    c_next = f * c + i * g
-    return o * jnp.tanh(c_next), c_next
+    f32 = jnp.float32
+    i = jax.nn.sigmoid(gates[..., 0 * C:1 * C].astype(f32))
+    f = jax.nn.sigmoid(gates[..., 1 * C:2 * C].astype(f32))
+    g = jnp.tanh(gates[..., 2 * C:3 * C].astype(f32))
+    o = jax.nn.sigmoid(gates[..., 3 * C:4 * C].astype(f32))
+    c_next = f * c.astype(f32) + i * g
+    return (o * jnp.tanh(c_next)).astype(gates.dtype), c_next
 
 
 @jax.custom_vjp
@@ -162,7 +173,7 @@ def _fused(gates, c):
 
 def _fused_fwd(gates, c):
     out = _fused(gates, c)
-    return out, (gates, c)
+    return out, (gates, c)   # narrow residuals; activations recomputed in bwd
 
 
 def _fused_bwd(res, cts):
@@ -170,7 +181,8 @@ def _fused_bwd(res, cts):
     dh, dc_out = cts
     C = c.shape[-1]
     dg2, dc2 = _bwd_2d(gates.reshape(-1, 4 * C), c.reshape(-1, C),
-                       dh.reshape(-1, C), dc_out.reshape(-1, C))
+                       dh.astype(gates.dtype).reshape(-1, C),
+                       dc_out.astype(c.dtype).reshape(-1, C))
     return dg2.reshape(gates.shape), dc2.reshape(c.shape)
 
 
@@ -178,11 +190,13 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_gate_update(gates: jax.Array, c: jax.Array):
-    """gates: [..., 4C], c: [..., C] → (h_next, c_next).
+    """gates: [..., 4C] (f32 or bf16), c: [..., C] (f32) → (h_next, c_next).
 
-    Uses the Pallas kernel when C is lane-aligned; XLA fallback otherwise.
+    h_next comes back in the gate dtype, c_next in the carry dtype; the
+    math runs in f32 inside VMEM either way.  Uses the Pallas kernel when C
+    is lane-aligned; XLA fallback otherwise.
     """
     C = c.shape[-1]
-    if C % 128 != 0 or gates.dtype != jnp.float32:
+    if C % 128 != 0 or gates.dtype not in (jnp.float32, jnp.bfloat16):
         return _xla_gate_update(gates, c)
-    return _fused(gates, c.astype(gates.dtype))
+    return _fused(gates, c.astype(jnp.float32))
