@@ -263,9 +263,25 @@ def test_tensorboard_logging(tmp_path, npz_path):
 
 
 def test_multi_step_matches_single_steps(dataset, mesh, tiny_model):
-    """K fused steps must produce the same state/losses as K single steps."""
+    """K fused steps must produce the same state/losses as K single steps.
+
+    This pins the multi-step *mechanism* (scan threading of params/BN/opt
+    state), so the comparison must not amplify compiled-program rounding
+    noise: (a) f32 policy — the single-step and scan-of-steps programs fuse
+    differently, so bf16 rounding differs between them; (b) SGD instead of
+    AdamW — Adam's m̂/(√v̂+ε) normalization turns ~1e-7 gradient rounding
+    differences into O(lr) update flips wherever gradients are near zero
+    (measured: identical losses/moments to 1e-6 but params off by 1e-3).
+    With SGD the equivalence is tight, and any real mechanism bug (dropped
+    step, stale state) still shows up at O(lr·|g|) ≫ tolerance."""
+    import functools
+
+    import optax
+
+    from unet_convlstm_tpu.core.dtypes import FP32_POLICY
     from unet_convlstm_tpu.train.steps import make_multi_train_step
     _, variables, apply_fn = tiny_model
+    apply32 = functools.partial(apply_fn, policy=FP32_POLICY)
     x_raw, y_raw = dataset.get_batch_raw(np.arange(8))
     K = 3
     xs = np.stack([x_raw] * K)
@@ -276,8 +292,8 @@ def test_multi_step_matches_single_steps(dataset, mesh, tiny_model):
         return {"params": v["params"], "stats": v["stats"],
                 "opt_state": tx.init(v["params"])}
 
-    tx = make_optimizer(1e-2)
-    single = make_train_step(apply_fn, tx, dataset.stats, use_mask=False,
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-2))
+    single = make_train_step(apply32, tx, dataset.stats, use_mask=False,
                              donate=False)
     s1 = fresh_state(tx)
     losses1 = []
@@ -285,17 +301,17 @@ def test_multi_step_matches_single_steps(dataset, mesh, tiny_model):
         s1, loss, _ = single(s1, jnp.asarray(x_raw), jnp.asarray(y_raw))
         losses1.append(float(loss))
 
-    # unsharded: identical reduction order → tight match with single steps
-    multi = make_multi_train_step(apply_fn, tx, dataset.stats,
+    # unsharded + f32: identical math → tight match with single steps
+    multi = make_multi_train_step(apply32, tx, dataset.stats,
                                   use_mask=False, mesh=None)
     s2 = fresh_state(tx)
     s2, losses2, sums = multi(s2, jnp.asarray(xs), jnp.asarray(ys))
     np.testing.assert_allclose(np.asarray(losses2), losses1,
-                               rtol=2e-2, atol=1e-3)
+                               rtol=1e-5, atol=1e-6)
     a = jax.tree_util.tree_leaves(s1["params"])[0]
     b = jax.tree_util.tree_leaves(s2["params"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=2e-2, atol=1e-3)
+                               rtol=1e-4, atol=1e-6)
 
     # sharded variant runs and converges (bf16 reduction order differs
     # slightly across shards — finite check only)
