@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--fov", type=float, default=0.115)
     ap.add_argument("--g", type=float, default=0.85)
     ap.add_argument("--voxel", type=float, default=20.0)
+    ap.add_argument("--width", type=int, default=128,
+                    help="synthetic debug volume xy size [voxels]")
+    ap.add_argument("--depth", type=int, default=64,
+                    help="synthetic debug volume z size [voxels]")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -51,7 +55,8 @@ def main():
     else:
         print("no pkl given — using the synthetic debug volume "
               "(sphere + cube + pyramid + border)")
-        beta = make_synthetic_debug_volume(width=128, depth=64)
+        beta = make_synthetic_debug_volume(width=args.width,
+                                           depth=args.depth)
 
     csv_path = args.csv or synthesize_overpass_csv(
         os.path.join(args.out_dir, "overpass_synth.csv"))

@@ -1,0 +1,120 @@
+"""Serving surface tests (serve.py): checkpoint-backed stateful streaming
+predictor + HTTP front end. The key contract: per-session recurrent state is
+carried across requests, so K separate 1-frame predictions equal one
+K-frame prediction (and equal the offline rollout path)."""
+
+import http.client
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unet_convlstm_tpu.cli import main
+from unet_convlstm_tpu.serve import StreamingPredictor, serve_http
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("serve")
+
+
+@pytest.fixture(scope="module")
+def checkpoint(workdir):
+    npz = str(workdir / "mm.npz")
+    main(["gen-mnist", "--out", npz, "--seq-len", "3",
+          "--num-samples", "8", "--image-size", "32",
+          "--num-digits", "1", "--seed", "0", "--xy"])
+    ckpt_dir = str(workdir / "ckpts")
+    cfg = {"npz_path": npz, "batch_size": 4, "epochs": 1,
+           "lr": 1e-3, "checkpoint_dir": ckpt_dir, "mesh_data": 1,
+           "model": {"type": "custom", "base_ch": 4,
+                     "use_skip_lstm": True, "lstm_layers": 1}}
+    cfg_path = str(workdir / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    main(["train", "--config", cfg_path])
+    return os.path.join(ckpt_dir, "custom_best"), npz
+
+
+def test_streaming_state_carries_across_requests(checkpoint):
+    ckpt, npz = checkpoint
+    pred = StreamingPredictor(ckpt)
+    data = np.load(npz)
+    x = np.ascontiguousarray(
+        np.moveaxis(data["X"][:2], 2, -1)).astype(np.float32)  # [2,3,32,32,2]
+
+    # one 3-frame request
+    sid_a = pred.open_session(2, 32, 32)
+    y_all = pred.predict(sid_a, x)
+    assert y_all.shape == (2, 3, 32, 32, 1)
+
+    # three 1-frame requests against a fresh session
+    sid_b = pred.open_session(2, 32, 32)
+    parts = [pred.predict(sid_b, x[:, t:t + 1]) for t in range(3)]
+    y_steps = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(y_steps, y_all, rtol=1e-4, atol=1e-4)
+
+    info = pred.session_info(sid_b)
+    assert info["frames_seen"] == 3
+    assert pred.close_session(sid_b)
+    with pytest.raises(KeyError):
+        pred.predict(sid_b, x[:, :1])
+
+
+def test_predictor_validates_geometry(checkpoint):
+    ckpt, _ = checkpoint
+    pred = StreamingPredictor(ckpt)
+    sid = pred.open_session(1, 32, 32)
+    with pytest.raises(ValueError):
+        pred.predict(sid, np.zeros((1, 1, 16, 16, 2), np.float32))
+    with pytest.raises(ValueError):
+        pred.predict(sid, np.zeros((1, 32, 32, 2), np.float32))
+
+
+def test_http_server_roundtrip(checkpoint):
+    ckpt, npz = checkpoint
+    pred = StreamingPredictor(ckpt)
+    server = serve_http(pred, "127.0.0.1", 0)
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+
+        conn.request("POST", "/v1/session",
+                     body=json.dumps({"batch": 1, "height": 32,
+                                      "width": 32}))
+        sid = json.loads(conn.getresponse().read())["session_id"]
+
+        data = np.load(npz)
+        x = np.ascontiguousarray(
+            np.moveaxis(data["X"][:1, :2], 2, -1)).astype("<f4")
+        conn.request("POST", f"/v1/predict/{sid}", body=x.tobytes(),
+                     headers={"X-Shape": ",".join(map(str, x.shape))})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        shape = tuple(int(v) for v in r.getheader("X-Shape").split(","))
+        y = np.frombuffer(r.read(), dtype="<f4").reshape(shape)
+        assert shape == (1, 2, 32, 32, 1)
+        assert np.isfinite(y).all()
+
+        # matches the in-process engine exactly (fresh session, same input)
+        sid2 = pred.open_session(1, 32, 32)
+        y_ref = pred.predict(sid2, x.astype(np.float32))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+        conn.request("GET", f"/v1/session/{sid}")
+        assert json.loads(conn.getresponse().read())["frames_seen"] == 2
+
+        conn.request("DELETE", f"/v1/session/{sid}")
+        assert json.loads(conn.getresponse().read())["closed"] is True
+
+        conn.request("POST", f"/v1/predict/{sid}", body=x.tobytes(),
+                     headers={"X-Shape": ",".join(map(str, x.shape))})
+        assert conn.getresponse().status == 404
+    finally:
+        server.shutdown()

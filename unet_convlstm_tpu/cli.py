@@ -271,6 +271,19 @@ def cmd_bench(_args):
     bench_main()
 
 
+def cmd_serve(args):
+    """Stateful streaming-inference HTTP server (serve.py). The reference
+    has no serving path; its rollout re-runs the whole prefix per frame
+    (test.py:305-316)."""
+    from .serve import run_server
+
+    warmup = None
+    if args.warmup:
+        b, h, w = (int(v) for v in args.warmup.split("x"))
+        warmup = (b, h, w)
+    run_server(args.checkpoint, args.host, args.port, warmup=warmup)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="unet_convlstm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -401,6 +414,16 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--wvu", action="store_true",
                     help="3-channel u/v/w target (cloud_wvu.json family)")
     cg.set_defaults(fn=cmd_cloud_gate)
+
+    sv = sub.add_parser("serve",
+                        help="streaming-inference HTTP server (stateful "
+                             "O(1)-per-frame sessions)")
+    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--warmup", default=None, metavar="BxHxW",
+                    help="pre-compile for a geometry, e.g. 1x64x64")
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -116,28 +116,36 @@ def temporal_unet_init_state(cfg: TemporalUNetConfig, batch: int,
 
 
 def _encode(params, stats, x_bt, cfg: TemporalUNetConfig, train: bool,
-            policy: Policy):
+            policy: Policy, fused: bool = False):
     """x_bt: [B*T, H, W, Cin] → (bottleneck, skips, new_stats)."""
     ns: Dict[str, Any] = {}
-    x0, ns["inc"] = double_conv(params["inc"], stats["inc"], x_bt, train, policy)
-    x1, ns["down1"] = down(params["down1"], stats["down1"], x0, train, policy)
-    x2, ns["down2"] = down(params["down2"], stats["down2"], x1, train, policy)
-    x3, ns["down3"] = down(params["down3"], stats["down3"], x2, train, policy)
+    x0, ns["inc"] = double_conv(params["inc"], stats["inc"], x_bt, train,
+                                policy, fused=fused)
+    x1, ns["down1"] = down(params["down1"], stats["down1"], x0, train,
+                           policy, fused=fused)
+    x2, ns["down2"] = down(params["down2"], stats["down2"], x1, train,
+                           policy, fused=fused)
+    x3, ns["down3"] = down(params["down3"], stats["down3"], x2, train,
+                           policy, fused=fused)
     xb, ns["bottleneck"] = down(params["bottleneck"], stats["bottleneck"], x3,
-                                train, policy)
+                                train, policy, fused=fused)
     if cfg.use_attention:
         xb = spatial_attention(params["attention"], xb, policy)
     return xb, (x3, x2, x1, x0), ns
 
 
 def _decode(params, stats, xb_bt, skips_bt, cfg: TemporalUNetConfig,
-            train: bool, policy: Policy):
+            train: bool, policy: Policy, fused: bool = False):
     ns: Dict[str, Any] = {}
     x3, x2, x1, x0 = skips_bt
-    d3, ns["up3"] = up(params["up3"], stats["up3"], xb_bt, x3, train, policy)
-    d2, ns["up2"] = up(params["up2"], stats["up2"], d3, x2, train, policy)
-    d1, ns["up1"] = up(params["up1"], stats["up1"], d2, x1, train, policy)
-    d0, ns["up0"] = up(params["up0"], stats["up0"], d1, x0, train, policy)
+    d3, ns["up3"] = up(params["up3"], stats["up3"], xb_bt, x3, train,
+                       policy, fused=fused)
+    d2, ns["up2"] = up(params["up2"], stats["up2"], d3, x2, train,
+                       policy, fused=fused)
+    d1, ns["up1"] = up(params["up1"], stats["up1"], d2, x1, train,
+                       policy, fused=fused)
+    d0, ns["up0"] = up(params["up0"], stats["up0"], d1, x0, train,
+                       policy, fused=fused)
     y = out_conv(params["outc"], d0, policy)
     return y, ns
 
@@ -161,6 +169,7 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
                         train: bool = False,
                         policy: Policy = DEFAULT_POLICY,
                         use_pallas: bool = False,
+                        use_fused_doubleconv: bool = False,
                         unroll: int = 1,
                         remat: bool = False
                         ) -> Tuple[jax.Array, Dict[str, Any], Dict[str, Any]]:
@@ -178,9 +187,10 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
     # BatchNorm batch statistics are order-invariant, so this is
     # numerically the same computation as the batch-major layout.
     x_bt = x_seq.transpose(1, 0, 2, 3, 4).reshape(T * B, *x_seq.shape[2:])
-    encode = (jax.checkpoint(_encode, static_argnums=(3, 4, 5))
+    encode = (jax.checkpoint(_encode, static_argnums=(3, 4, 5, 6))
               if remat else _encode)
-    xb, skips, enc_stats = encode(params, stats, x_bt, cfg, train, policy)
+    xb, skips, enc_stats = encode(params, stats, x_bt, cfg, train, policy,
+                                  use_fused_doubleconv)
 
     # --- Temporal recurrence at the bottleneck (lax.scan) ---
     xb_tm = _to_time_major(xb, B, T)
@@ -211,7 +221,8 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
     # --- Decoder, batched over B*T ---
     xb_bt = _to_batch_major(xb_out_tm, B, T)
     y_bt, dec_stats = _decode(params, stats, xb_bt.astype(x_bt.dtype),
-                              (x3, x2, x1, x0), cfg, train, policy)
+                              (x3, x2, x1, x0), cfg, train, policy,
+                              fused=use_fused_doubleconv)
 
     # back to batch-major only at the (small, out_ch-wide) output
     y_seq = y_bt.reshape(T, B, *y_bt.shape[1:]).transpose(1, 0, 2, 3, 4)

@@ -24,7 +24,7 @@ from ..core.dtypes import Policy, DEFAULT_POLICY
 from .conv import (
     conv2d_init, conv2d,
     conv_transpose2d_init, conv_transpose2d,
-    max_pool2d, batchnorm_init, batchnorm,
+    max_pool2d, batchnorm_init, batchnorm, batchnorm_from_sums,
 )
 
 
@@ -44,7 +44,25 @@ def double_conv_init(key, in_ch: int, out_ch: int):
 
 
 def double_conv(params, stats, x, train: bool,
-                policy: Policy = DEFAULT_POLICY) -> Tuple[jax.Array, dict]:
+                policy: Policy = DEFAULT_POLICY,
+                fused: bool = False) -> Tuple[jax.Array, dict]:
+    if fused:
+        from .pallas.doubleconv_fused import fits_fused_conv3x3
+        x_c = policy.cast_input(x)
+        itemsize = jnp.dtype(x_c.dtype).itemsize
+        cin = x_c.shape[-1]
+        c1, c2 = params["conv1"]["w"].shape[-1], params["conv2"]["w"].shape[-1]
+        # conv2 (the expensive one: c1->c2 with the BN1 prologue) must fit
+        # the kernel; channels below a quarter lane (32) pad catastrophically
+        # in VMEM (a cin=2 input blows up 64x), so narrow convs stay on XLA.
+        conv2_ok = (min(c1, c2) >= 16
+                    and fits_fused_conv3x3(x_c.shape[:3] + (c1,), c2,
+                                           itemsize))
+        if conv2_ok:
+            conv1_fused = (cin >= 16
+                           and fits_fused_conv3x3(x_c.shape, c1, itemsize))
+            return _double_conv_fused(params, stats, x_c, train, policy,
+                                      conv1_fused=conv1_fused)
     y = conv2d(params["conv1"], x, policy=policy)
     y, s1 = batchnorm(params["bn1"], stats["bn1"], y, train)
     y = jax.nn.relu(y)
@@ -52,6 +70,41 @@ def double_conv(params, stats, x, train: bool,
     y, s2 = batchnorm(params["bn2"], stats["bn2"], y, train)
     y = jax.nn.relu(y)
     return y, {"bn1": s1, "bn2": s2}
+
+
+def _double_conv_fused(params, stats, x_c, train: bool, policy: Policy,
+                       conv1_fused: bool = True):
+    """DoubleConv via the Pallas fused conv kernel: conv1 fuses the BN1
+    stats reduction into its epilogue, conv2 fuses BN1's normalize+ReLU
+    into its prologue and BN2's stats into its epilogue; only the final
+    normalize+ReLU stays in XLA (it fuses into the consumer). Same math as
+    the unfused path — see tests/test_doubleconv_fused.py.
+
+    ``conv1_fused=False``: conv1 runs on XLA (narrow input channels, e.g.
+    the 2-channel network input) with the BN1 sums as plain jnp reductions
+    (XLA fuses them into the conv epilogue); conv2 still takes the raw y1
+    with the normalize+ReLU prologue — the pass that matters."""
+    from .pallas.doubleconv_fused import fused_conv3x3
+
+    n_pix1 = x_c.shape[0] * x_c.shape[1] * x_c.shape[2]
+    if conv1_fused:
+        y1, s1, q1 = fused_conv3x3(
+            x_c, policy.cast_param(params["conv1"]["w"]),
+            params["conv1"]["b"], want_stats=train)
+    else:
+        y1 = conv2d(params["conv1"], x_c, policy=policy)
+        y1f = y1.astype(jnp.float32)
+        s1 = jnp.sum(y1f, axis=(0, 1, 2))
+        q1 = jnp.sum(y1f * y1f, axis=(0, 1, 2))
+    inv1, shift1, new_s1 = batchnorm_from_sums(
+        params["bn1"], stats["bn1"], s1, q1, n_pix1, train)
+    y2, s2, q2 = fused_conv3x3(
+        y1, policy.cast_param(params["conv2"]["w"]), params["conv2"]["b"],
+        pre_inv=inv1, pre_shift=shift1, want_stats=train)
+    inv2, shift2, new_s2 = batchnorm_from_sums(
+        params["bn2"], stats["bn2"], s2, q2, n_pix1, train)
+    y = jax.nn.relu(y2 * inv2.astype(y2.dtype) + shift2.astype(y2.dtype))
+    return y, {"bn1": new_s1, "bn2": new_s2}
 
 
 # ---------------------------------------------------------------------------
@@ -63,8 +116,10 @@ def down_init(key, in_ch: int, out_ch: int):
 
 
 def down(params, stats, x, train: bool,
-         policy: Policy = DEFAULT_POLICY) -> Tuple[jax.Array, dict]:
-    return double_conv(params, stats, max_pool2d(x, 2), train, policy)
+         policy: Policy = DEFAULT_POLICY,
+         fused: bool = False) -> Tuple[jax.Array, dict]:
+    return double_conv(params, stats, max_pool2d(x, 2), train, policy,
+                       fused=fused)
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +134,8 @@ def up_init(key, in_ch: int, out_ch: int):
 
 
 def up(params, stats, x_deep, x_skip, train: bool,
-       policy: Policy = DEFAULT_POLICY) -> Tuple[jax.Array, dict]:
+       policy: Policy = DEFAULT_POLICY,
+       fused: bool = False) -> Tuple[jax.Array, dict]:
     """x_deep: coarse feature to upsample; x_skip: encoder skip (NHWC)."""
     x1 = conv_transpose2d(params["up"], x_deep, stride=2, policy=policy)
     # Center-pad x1 spatially to match the skip (reference unet.py:95-97).
@@ -89,7 +145,8 @@ def up(params, stats, x_deep, x_skip, train: bool,
         x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
                           (dw // 2, dw - dw // 2), (0, 0)))
     x = jnp.concatenate([x_skip, x1.astype(x_skip.dtype)], axis=-1)
-    y, s = double_conv(params["conv"], stats["conv"], x, train, policy)
+    y, s = double_conv(params["conv"], stats["conv"], x, train, policy,
+                       fused=fused)
     return y, {"conv": s}
 
 

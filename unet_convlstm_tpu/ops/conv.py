@@ -161,6 +161,33 @@ def batchnorm_init(num_features: int, dtype=jnp.float32):
     return params, stats
 
 
+def batchnorm_from_sums(params, stats, total: jax.Array, total_sq: jax.Array,
+                        n: int, train: bool, momentum: float = 0.1,
+                        eps: float = 1e-5):
+    """BN affine (inv, shift) + running-stat update from per-channel f32
+    sums — the finalization half of ``batchnorm`` when the reduction was
+    fused elsewhere (ops/pallas/doubleconv_fused.py). Identical formulas:
+    biased batch var for normalization, unbiased for the running estimate.
+
+    Returns (inv, shift, new_stats); y = x*inv + shift then ReLU matches
+    ``batchnorm``'s output."""
+    if train:
+        mean = total / n
+        mean_sq = total_sq / n
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    inv = lax.rsqrt(var + eps) * params["scale"]
+    shift = params["bias"] - mean * inv
+    return inv, shift, new_stats
+
+
 def batchnorm(params, stats, x, train: bool, momentum: float = 0.1,
               eps: float = 1e-5) -> Tuple[jax.Array, dict]:
     """x: NHWC. Returns (y, new_stats).

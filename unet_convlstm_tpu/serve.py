@@ -1,0 +1,269 @@
+"""Streaming inference serving — checkpoint → stateful O(1)-per-frame API.
+
+The reference has no serving path at all: its rollout script re-runs the
+model on every growing prefix, O(T²), and discards the recurrent state the
+model returns (reference test.py:305-316). Here streaming inference is the
+deployable surface:
+
+* ``StreamingPredictor`` — in-process engine: restores a checkpoint
+  (params + BatchNorm stats + normalization manifest, so raw sensor frames
+  in / physical m/s out), keeps named sessions each carrying the (h, c)
+  recurrence, and dispatches one jitted step per request. Per-frame cost is
+  constant regardless of how long a session has been running.
+* ``serve_http`` / CLI ``serve`` — a dependency-free HTTP front end
+  (stdlib ``ThreadingHTTPServer``): JSON for control, raw little-endian
+  float32 tensors for data (no serialization overhead on the hot path).
+
+Endpoints:
+    GET  /healthz                     → {"status": "ok", model info}
+    POST /v1/session                  {"batch": B, "height": H, "width": W}
+                                      → {"session_id": ...}
+    POST /v1/predict/<sid>            body: raw f32 [B,T,H,W,Cin], header
+                                      X-Shape: "B,T,H,W,C"
+                                      → raw f32 [B,T,H,W,out] (denormalized,
+                                      physical units), X-Shape set
+    DELETE /v1/session/<sid>          → {"closed": true}
+
+Device access is serialized with a lock (one chip, many HTTP threads); the
+per-shape jitted step is compiled once and cached by JAX.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Session:
+    batch: int
+    height: int
+    width: int
+    state: Any = None
+    frames_seen: int = 0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class StreamingPredictor:
+    """Checkpoint-backed stateful streaming inference engine."""
+
+    def __init__(self, checkpoint_path: str,
+                 denormalize_output: bool = True):
+        import jax.numpy as jnp  # noqa: F401  (fail early if jax broken)
+
+        from .models.registry import build_model
+        from .ops.normalize import NormStats
+        from .train.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(checkpoint_path)
+        model_cfg = meta["config"].get("model", meta["config"])
+        self.model_cfg = dict(model_cfg)
+        cfg, _, apply_fn, init_state = build_model(model_cfg)
+        self._apply_fn = apply_fn
+        self._init_state = init_state
+        self.variables = {"params": state["params"], "stats": state["stats"]}
+        if "norm_stats" not in meta:
+            raise ValueError(
+                "checkpoint has no normalization manifest (norm_stats) — "
+                "it cannot map raw frames to model inputs; retrain or "
+                "re-save with a stats manifest")
+        self.norm_stats = NormStats.from_dict(meta["norm_stats"])
+        self.denormalize_output = denormalize_output
+        self._sessions: Dict[str, _Session] = {}
+        self._sessions_lock = threading.Lock()
+        self._device_lock = threading.Lock()
+        self._step = self._make_step()
+
+    def _make_step(self) -> Callable:
+        import jax
+
+        from .ops.normalize import denormalize_y, normalize_x
+
+        apply_fn = self._apply_fn
+        stats = self.norm_stats
+        denorm = self.denormalize_output
+
+        @jax.jit
+        def step(variables, x_raw, state):
+            x = normalize_x(x_raw, stats)
+            y, new_state, _ = apply_fn(variables, x, state=state,
+                                       train=False)
+            y = y.astype(jax.numpy.float32)
+            if denorm:
+                y = denormalize_y(y, stats)
+            return y, new_state
+
+        return step
+
+    # -- session management -------------------------------------------------
+
+    def open_session(self, batch: int, height: int, width: int) -> str:
+        sid = uuid.uuid4().hex[:16]
+        with self._sessions_lock:
+            self._sessions[sid] = _Session(batch, height, width,
+                                           state=self._init_state(
+                                               batch, height, width))
+        return sid
+
+    def close_session(self, sid: str) -> bool:
+        with self._sessions_lock:
+            return self._sessions.pop(sid, None) is not None
+
+    def session_info(self, sid: str) -> Optional[Dict[str, Any]]:
+        s = self._sessions.get(sid)
+        if s is None:
+            return None
+        return {"batch": s.batch, "height": s.height, "width": s.width,
+                "frames_seen": s.frames_seen}
+
+    # -- inference ----------------------------------------------------------
+
+    def predict(self, sid: str, frames: np.ndarray) -> np.ndarray:
+        """frames: raw [B, T, H, W, Cin] float32 (T >= 1). Advances the
+        session state by T frames; returns [B, T, H, W, out] predictions."""
+        import jax.numpy as jnp
+
+        s = self._sessions.get(sid)
+        if s is None:
+            raise KeyError(f"unknown session {sid!r}")
+        if frames.ndim != 5:
+            raise ValueError(f"frames must be [B,T,H,W,C], got "
+                             f"{frames.shape}")
+        B, _, H, W, _ = frames.shape
+        if (B, H, W) != (s.batch, s.height, s.width):
+            raise ValueError(
+                f"frame geometry {B}x{H}x{W} does not match session "
+                f"{s.batch}x{s.height}x{s.width}")
+        with s.lock:                    # per-session state consistency
+            with self._device_lock:     # one chip, many threads
+                y, new_state = self._step(self.variables,
+                                          jnp.asarray(frames), s.state)
+                y_host = np.asarray(y)
+            s.state = new_state
+            s.frames_seen += frames.shape[1]
+        return y_host
+
+    def warmup(self, batch: int, height: int, width: int,
+               seq_len: int = 1) -> None:
+        """Pre-compile the step for a geometry (first compile is slow)."""
+        sid = self.open_session(batch, height, width)
+        try:
+            cin = 2 * self.model_cfg.get("in_channels_per_sat", 1) \
+                if self.model_cfg.get("type", "custom") == "custom" \
+                else self.model_cfg.get("in_channels", 2)
+            self.predict(sid, np.zeros(
+                (batch, seq_len, height, width, cin), np.float32))
+        finally:
+            self.close_session(sid)
+
+
+# ---------------------------------------------------------------------------
+# HTTP front end (stdlib only)
+# ---------------------------------------------------------------------------
+
+def _make_handler(predictor: StreamingPredictor):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: Dict[str, Any]):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "model": predictor.model_cfg})
+            elif self.path.startswith("/v1/session/"):
+                sid = self.path.rsplit("/", 1)[-1]
+                info = predictor.session_info(sid)
+                if info is None:
+                    self._json(404, {"error": "unknown session"})
+                else:
+                    self._json(200, info)
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                if self.path == "/v1/session":
+                    req = json.loads(self._read_body() or b"{}")
+                    sid = predictor.open_session(
+                        int(req["batch"]), int(req["height"]),
+                        int(req["width"]))
+                    self._json(200, {"session_id": sid})
+                elif self.path.startswith("/v1/predict/"):
+                    sid = self.path.rsplit("/", 1)[-1]
+                    shape = tuple(int(v) for v in
+                                  self.headers["X-Shape"].split(","))
+                    frames = np.frombuffer(
+                        self._read_body(), dtype="<f4").reshape(shape)
+                    y = predictor.predict(sid, frames)
+                    body = np.ascontiguousarray(y, dtype="<f4").tobytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("X-Shape",
+                                     ",".join(map(str, y.shape)))
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._json(404, {"error": "not found"})
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+            except Exception as e:  # client errors surface as 400s
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):
+            if self.path.startswith("/v1/session/"):
+                sid = self.path.rsplit("/", 1)[-1]
+                ok = predictor.close_session(sid)
+                self._json(200 if ok else 404, {"closed": ok})
+            else:
+                self._json(404, {"error": "not found"})
+
+    return Handler
+
+
+def serve_http(predictor: StreamingPredictor, host: str = "127.0.0.1",
+               port: int = 8000):
+    """Returns a started ThreadingHTTPServer (caller joins/shuts down)."""
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((host, port), _make_handler(predictor))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def run_server(checkpoint: str, host: str, port: int,
+               warmup: Optional[Tuple[int, int, int]] = None):
+    predictor = StreamingPredictor(checkpoint)
+    if warmup:
+        print(f"warmup compile {warmup} ...")
+        predictor.warmup(*warmup)
+    server = serve_http(predictor, host, port)
+    print(f"serving {checkpoint} on http://{host}:{port} "
+          f"(model {predictor.model_cfg.get('type', 'custom')})")
+    try:
+        threading.Event().wait()  # serve_http runs in a daemon thread
+    except KeyboardInterrupt:
+        server.shutdown()
