@@ -158,3 +158,68 @@ def test_convert_checkpoint_cli(tmp_path, rng):
     assert meta["epoch"] == 7
     y, _, _ = apply_fn(variables, jnp.zeros((1, 2, 32, 32, 2)), train=False)
     assert y.shape == (1, 2, 32, 32, 1)
+
+
+@pytest.mark.parametrize("use_attention,use_skip_lstm",
+                         [(False, True), (True, True)])
+def test_export_to_reference_strict_load_and_parity(rng, use_attention,
+                                                    use_skip_lstm):
+    """Reverse direction: init OUR model, export to the reference's
+    state_dict naming, strict-load into the reference TemporalUNetDualView
+    (black-box oracle), and check forward parity — users can train here
+    and switch BACK to the reference's torch tooling."""
+    from unet_convlstm_tpu.models.temporal_unet import temporal_unet_init
+    from unet_convlstm_tpu.utils.torch_weights import (
+        export_temporal_unet_checkpoint)
+
+    import jax
+
+    cfg = TemporalUNetConfig(base_ch=8, lstm_layers=1,
+                             use_skip_lstm=use_skip_lstm,
+                             use_attention=use_attention)
+    variables = temporal_unet_init(jax.random.PRNGKey(7), cfg)
+    sd = export_temporal_unet_checkpoint(variables)
+
+    ref = _load_ref_unet()
+    model = ref.TemporalUNetDualView(
+        in_channels_per_sat=1, out_channels=1, base_ch=8, lstm_layers=1,
+        use_skip_lstm=use_skip_lstm, use_attention=use_attention)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True), None
+    model.eval()
+
+    x = rng.standard_normal((1, 3, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out, _ = model(torch.from_numpy(x))
+        y_ref = torch.stack(out, dim=1).numpy()
+    y, _, _ = temporal_unet_apply(variables,
+                                  jnp.asarray(np.moveaxis(x, 2, -1)),
+                                  cfg, train=False, policy=FP32_POLICY)
+    y_ours = np.moveaxis(np.asarray(y), -1, 2)
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_export_roundtrip_is_identity(rng):
+    """export → convert must reproduce the original variables exactly."""
+    from unet_convlstm_tpu.models.temporal_unet import temporal_unet_init
+    from unet_convlstm_tpu.utils.torch_weights import (
+        export_temporal_unet_checkpoint)
+
+    import jax
+
+    cfg = TemporalUNetConfig(base_ch=4, lstm_layers=2, use_skip_lstm=True,
+                             use_attention=True)
+    variables = temporal_unet_init(jax.random.PRNGKey(8), cfg)
+    sd = export_temporal_unet_checkpoint(variables)
+    back = convert_temporal_unet_checkpoint(sd)
+
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(
+        {"params": variables["params"], "stats": variables["stats"]})
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                      np.asarray(vb, np.float32),
+                                      err_msg=jax.tree_util.keystr(pa))

@@ -69,3 +69,27 @@ def test_rollout_cli(trained, npz_path, workdir):
     main(["rollout", "--checkpoint", os.path.join(trained, "custom_best"),
           "--npz", npz_path, "--sequence-idx", "1", "--out", out])
     assert os.path.getsize(out) > 5000
+
+
+def test_convert_checkpoint_to_torch_cli(trained, workdir):
+    """Reverse migration: export a trained checkpoint to the reference's
+    .pt format; the file must load as {model_state, config} and round-trip
+    through the forward converter to identical weights."""
+    import numpy as np
+    import torch
+
+    from unet_convlstm_tpu.train.checkpoint import restore_checkpoint
+    from unet_convlstm_tpu.utils.torch_weights import (
+        convert_temporal_unet_checkpoint)
+
+    out_pt = str(workdir / "exported.pt")
+    main(["convert-checkpoint", "--checkpoint",
+          os.path.join(trained, "custom_best"), "--to-torch", out_pt])
+    ckpt = torch.load(out_pt, map_location="cpu", weights_only=True)
+    assert ckpt["config"]["type"] == "custom"
+    assert ckpt["config"]["base_ch"] == 4
+    back = convert_temporal_unet_checkpoint(ckpt["model_state"])
+    state, _ = restore_checkpoint(os.path.join(trained, "custom_best"))
+    orig = np.asarray(state["params"]["outc"]["w"], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["outc"]["w"], np.float32), orig)

@@ -209,15 +209,50 @@ def cmd_stats(args):
 
 def cmd_convert_checkpoint(args):
     """Migrate a reference torch checkpoint ({model_state, config, ...},
-    reference main.py:307-323) into this framework's checkpoint format."""
+    reference main.py:307-323) into this framework's checkpoint format —
+    or, with --to-torch, export one of OUR checkpoints back into the
+    reference's .pt format (strict-loadable by reference train/unet.py)."""
     import torch
 
     from .train.checkpoint import save_checkpoint
     from .utils.torch_weights import (
         convert_pretrained_temporal_unet_checkpoint,
         convert_temporal_unet_checkpoint,
+        export_temporal_unet_checkpoint,
     )
 
+    if args.to_torch:
+        import numpy as np
+
+        if not args.checkpoint:
+            raise SystemExit("--to-torch requires --checkpoint <our ckpt>")
+        from .train.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(args.checkpoint)
+        cfg = meta.get("config", {})
+        model_cfg = cfg.get("model", cfg)
+        if model_cfg.get("type", "custom") != "custom":
+            raise SystemExit("--to-torch currently exports the custom "
+                             "TemporalUNetDualView family only")
+        sd = export_temporal_unet_checkpoint(
+            {"params": state["params"], "stats": state["stats"]})
+        torch.save({
+            "model_state": {k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()},
+            "config": {"type": "custom",
+                       **{k: model_cfg[k] for k in
+                          ("base_ch", "lstm_layers", "use_skip_lstm",
+                           "use_attention") if k in model_cfg}},
+            "val_loss": meta.get("val_loss"),
+            "epoch": meta.get("epoch", 0),
+        }, args.to_torch)
+        print(f"exported {args.checkpoint} -> {args.to_torch} "
+              "(reference main.py checkpoint format)")
+        return
+
+    if not args.torch_ckpt:
+        raise SystemExit("--torch-ckpt is required (or use --checkpoint "
+                         "with --to-torch for the reverse direction)")
     # Reference checkpoints hold only tensors + plain dicts
     # (main.py:307-323); weights_only keeps third-party .pt files from
     # executing arbitrary pickle code through this migration tool.
@@ -393,12 +428,19 @@ def build_parser() -> argparse.ArgumentParser:
     st.set_defaults(fn=cmd_stats)
 
     cc = sub.add_parser("convert-checkpoint",
-                        help="migrate a reference torch .pt checkpoint")
-    cc.add_argument("--torch-ckpt", required=True)
+                        help="migrate a reference torch .pt checkpoint "
+                             "(or export ours back with --to-torch)")
+    cc.add_argument("--torch-ckpt", default=None,
+                    help="reference .pt to import")
     cc.add_argument("--out-dir", default="checkpoints")
     cc.add_argument("--model-type", choices=["custom", "resnet18"],
                     default="custom",
                     help="fallback when the .pt has no embedded config")
+    cc.add_argument("--checkpoint", default=None,
+                    help="OUR checkpoint dir to export (with --to-torch)")
+    cc.add_argument("--to-torch", default=None, metavar="OUT.pt",
+                    help="export --checkpoint to the reference's torch "
+                         "checkpoint format")
     cc.set_defaults(fn=cmd_convert_checkpoint)
 
     b = sub.add_parser("bench", help="frames/sec benchmark")

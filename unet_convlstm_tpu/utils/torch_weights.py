@@ -210,6 +210,82 @@ def convert_pretrained_temporal_unet_checkpoint(sd: Dict[str, Any]
     return {"params": params, "stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# Reverse export: our checkpoint → reference torch state_dict (switch-BACK
+# path — users can train here and keep serving/analysing with the
+# reference's torch scripts)
+# ---------------------------------------------------------------------------
+
+def _hwio_to_oihw(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w, np.float32),
+                                             (3, 2, 0, 1)))
+
+
+def _np(v) -> np.ndarray:
+    return np.asarray(v, np.float32)
+
+
+def _export_conv(out: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any]):
+    out[f"{prefix}.weight"] = _hwio_to_oihw(p["w"])
+    if "b" in p:
+        out[f"{prefix}.bias"] = _np(p["b"])
+
+
+def _export_bn(out: Dict[str, np.ndarray], prefix: str, p, s):
+    out[f"{prefix}.weight"] = _np(p["scale"])
+    out[f"{prefix}.bias"] = _np(p["bias"])
+    out[f"{prefix}.running_mean"] = _np(s["mean"])
+    out[f"{prefix}.running_var"] = _np(s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _export_double_conv(out, prefix: str, p, s):
+    """Inverse of ``_double_conv_entry``: our {conv1,bn1,conv2,bn2} →
+    reference DoubleConv ``<prefix>.net.{0,1,3,4}``."""
+    _export_conv(out, f"{prefix}.net.0", p["conv1"])
+    _export_bn(out, f"{prefix}.net.1", p["bn1"], s["bn1"])
+    _export_conv(out, f"{prefix}.net.3", p["conv2"])
+    _export_bn(out, f"{prefix}.net.4", p["bn2"], s["bn2"])
+
+
+def _export_convlstm(out, prefix: str, p):
+    for name, cell in sorted(p.items()):
+        l = int(name[len("layer"):])
+        _export_conv(out, f"{prefix}.layers.{l}.conv", cell["conv"])
+
+
+def export_temporal_unet_checkpoint(variables: Dict[str, Any]
+                                    ) -> Dict[str, np.ndarray]:
+    """Our TemporalUNetDualView {'params','stats'} → the reference model's
+    ``state_dict`` (numpy arrays; wrap in torch tensors for torch.save).
+    Exact inverse of ``convert_temporal_unet_checkpoint`` — a round-trip is
+    the identity, and the exported dict strict-loads into reference
+    ``train/unet.py::TemporalUNetDualView`` (tested against the reference
+    as a black-box oracle)."""
+    p, s = variables["params"], variables["stats"]
+    out: Dict[str, np.ndarray] = {}
+    _export_double_conv(out, "inc", p["inc"], s["inc"])
+    for name in ("down1", "down2", "down3", "bottleneck"):
+        _export_double_conv(out, f"{name}.net.1", p[name], s[name])
+    _export_convlstm(out, "temporal", p["temporal"])
+    if "skip3" in p:
+        _export_convlstm(out, "lstm_skip3", p["skip3"])
+        _export_convlstm(out, "lstm_skip2", p["skip2"])
+    if "attention" in p:
+        out["attention.conv.weight"] = _hwio_to_oihw(p["attention"]["w"])
+    for name in ("up3", "up2", "up1", "up0"):
+        # our ConvTranspose weights are (kh, kw, out, in); torch
+        # ConvTranspose2d.weight is (in, out, kh, kw)
+        out[f"{name}.up.weight"] = np.ascontiguousarray(np.transpose(
+            _np(p[name]["up"]["w"]), (3, 2, 0, 1)))
+        if "b" in p[name]["up"]:
+            out[f"{name}.up.bias"] = _np(p[name]["up"]["b"])
+        _export_double_conv(out, f"{name}.conv", p[name]["conv"],
+                            s[name]["conv"])
+    _export_conv(out, "outc.conv", p["outc"])
+    return out
+
+
 def load_torch_resnet18(path: str, in_channels: int = 2) -> Dict[str, Any]:
     """Load + convert a local torchvision resnet18 checkpoint (.pth)."""
     import torch
