@@ -61,10 +61,10 @@ def test_full_model_parity_with_reference(rng, use_attention, use_skip_lstm):
     np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
 
 
-def test_pretrained_checkpoint_converter_structure():
-    """smp isn't installed, so the ResNet-variant converter is validated
-    against a synthetic state_dict with the exact reference naming
-    (resnet18.py module attributes + smp internals)."""
+def _synthetic_resnet_sd():
+    """Synthetic state_dict with the exact reference PretrainedTemporalUNet
+    naming (resnet18.py module attributes + smp internals) — smp isn't
+    installed, so this is the naming oracle for both converter directions."""
     sd = {}
     # encoder (torchvision resnet18 layout, in_channels=2)
     sd["encoder.conv1.weight"] = torch.randn(64, 2, 7, 7)
@@ -113,7 +113,11 @@ def test_pretrained_checkpoint_converter_structure():
         hid = cin
         sd[f"{pre}.layers.0.conv.weight"] = torch.randn(4 * hid, 2 * cin, 3, 3)
         sd[f"{pre}.layers.0.conv.bias"] = torch.zeros(4 * hid)
+    return sd
 
+
+def test_pretrained_checkpoint_converter_structure():
+    sd = _synthetic_resnet_sd()
     variables = convert_pretrained_temporal_unet_checkpoint(sd)
     p = variables["params"]
     assert p["encoder"]["conv1"]["w"].shape == (7, 7, 2, 64)
@@ -216,6 +220,44 @@ def test_export_roundtrip_is_identity(rng):
 
     flat_a, _ = jax.tree_util.tree_flatten_with_path(
         {"params": variables["params"], "stats": variables["stats"]})
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                      np.asarray(vb, np.float32),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
+def test_resnet_export_roundtrip_and_naming():
+    """ResNet-family reverse export: key set must equal the reference's
+    naming oracle (+ num_batches_tracked, which torch BN state_dicts carry),
+    and import(export(v)) must reproduce every mapped weight exactly.
+    lstm_skips.0 (the identity-stage LSTM whose output the smp decoder
+    drops) is zero-filled with the oracle's shapes."""
+    import jax
+
+    from unet_convlstm_tpu.utils.torch_weights import (
+        export_pretrained_temporal_unet_checkpoint)
+
+    sd = _synthetic_resnet_sd()
+    variables = convert_pretrained_temporal_unet_checkpoint(sd)
+    out = export_pretrained_temporal_unet_checkpoint(variables)
+
+    want = {k for k in sd}
+    got = {k for k in out if not k.endswith("num_batches_tracked")}
+    assert got == want, (sorted(got - want), sorted(want - got))
+    for k in sd:
+        ref = np.asarray(sd[k].numpy() if hasattr(sd[k], "numpy") else sd[k],
+                         np.float32)
+        if k.startswith("lstm_skips.0."):
+            assert out[k].shape == ref.shape, k
+            assert not out[k].any()
+            continue
+        np.testing.assert_array_equal(out[k], ref, err_msg=k)
+
+    back = convert_pretrained_temporal_unet_checkpoint(out)
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(variables)
     flat_b, _ = jax.tree_util.tree_flatten_with_path(back)
     assert len(flat_a) == len(flat_b)
     for (pa, va), (pb, vb) in zip(flat_a, flat_b):

@@ -231,18 +231,30 @@ def cmd_convert_checkpoint(args):
         state, meta = restore_checkpoint(args.checkpoint)
         cfg = meta.get("config", {})
         model_cfg = cfg.get("model", cfg)
-        if model_cfg.get("type", "custom") != "custom":
-            raise SystemExit("--to-torch currently exports the custom "
-                             "TemporalUNetDualView family only")
-        sd = export_temporal_unet_checkpoint(
-            {"params": state["params"], "stats": state["stats"]})
+        model_type = model_cfg.get("type", "custom")
+        variables = {"params": state["params"], "stats": state["stats"]}
+        if model_type == "custom":
+            sd = export_temporal_unet_checkpoint(variables)
+            out_cfg = {"type": "custom",
+                       **{k: model_cfg[k] for k in
+                          ("base_ch", "lstm_layers", "use_skip_lstm",
+                           "use_attention") if k in model_cfg}}
+        elif model_type == "resnet18":
+            from .utils.torch_weights import (
+                export_pretrained_temporal_unet_checkpoint)
+
+            sd = export_pretrained_temporal_unet_checkpoint(variables)
+            out_cfg = {"type": "resnet18",
+                       **{k: model_cfg[k] for k in
+                          ("lstm_layers", "freeze_encoder", "in_channels")
+                          if k in model_cfg}}
+        else:
+            raise SystemExit(f"--to-torch: unknown model type "
+                             f"{model_type!r}")
         torch.save({
             "model_state": {k: torch.from_numpy(np.ascontiguousarray(v))
                             for k, v in sd.items()},
-            "config": {"type": "custom",
-                       **{k: model_cfg[k] for k in
-                          ("base_ch", "lstm_layers", "use_skip_lstm",
-                           "use_attention") if k in model_cfg}},
+            "config": out_cfg,
             "val_loss": meta.get("val_loss"),
             "epoch": meta.get("epoch", 0),
         }, args.to_torch)

@@ -286,6 +286,66 @@ def export_temporal_unet_checkpoint(variables: Dict[str, Any]
     return out
 
 
+def export_pretrained_temporal_unet_checkpoint(variables: Dict[str, Any]
+                                               ) -> Dict[str, np.ndarray]:
+    """Our resnet_unet {'params','stats'} → the reference
+    PretrainedTemporalUNet ``state_dict`` naming (torchvision encoder under
+    ``encoder.``, smp UnetDecoder blocks, ``segmentation_head.0``,
+    bottleneck ``lstm`` and per-skip ``lstm_skips``). Inverse of
+    ``convert_pretrained_temporal_unet_checkpoint``.
+
+    The reference builds one extra skip-LSTM for the stage-0 identity
+    feature whose output the smp decoder drops (reference
+    train/resnet18.py:69-74 with encoder_out_channels[:-1]; smp UnetDecoder
+    discards features[0]) — our model has no counterpart, so
+    ``lstm_skips.0`` is emitted zero-filled: inference through the
+    reference is unaffected."""
+    p, s = variables["params"], variables["stats"]
+    out: Dict[str, np.ndarray] = {}
+
+    enc_p, enc_s = p["encoder"], s["encoder"]
+    _export_conv(out, "encoder.conv1", enc_p["conv1"])
+    _export_bn(out, "encoder.bn1", enc_p["bn1"], enc_s["bn1"])
+    for li in range(1, 5):
+        for bi in range(2):
+            src = f"layer{li}_{bi}"
+            dst = f"encoder.layer{li}.{bi}"
+            bp, bs = enc_p[src], enc_s[src]
+            _export_conv(out, f"{dst}.conv1", bp["conv1"])
+            _export_conv(out, f"{dst}.conv2", bp["conv2"])
+            _export_bn(out, f"{dst}.bn1", bp["bn1"], bs["bn1"])
+            _export_bn(out, f"{dst}.bn2", bp["bn2"], bs["bn2"])
+            if "down_conv" in bp:
+                _export_conv(out, f"{dst}.downsample.0", bp["down_conv"])
+                _export_bn(out, f"{dst}.downsample.1", bp["down_bn"],
+                           bs["down_bn"])
+
+    dec_p, dec_s = p["decoder"], s["decoder"]
+    for i in range(5):
+        bp, bs = dec_p[f"block{i}"], dec_s[f"block{i}"]
+        pre = f"decoder.blocks.{i}"
+        _export_conv(out, f"{pre}.conv1.0", bp["conv1"])
+        _export_conv(out, f"{pre}.conv2.0", bp["conv2"])
+        _export_bn(out, f"{pre}.conv1.1", bp["bn1"], bs["bn1"])
+        _export_bn(out, f"{pre}.conv2.1", bp["bn2"], bs["bn2"])
+    _export_conv(out, "segmentation_head.0", dec_p["head"])
+
+    _export_convlstm(out, "lstm", p["temporal"])
+    for i in range(4):
+        _export_convlstm(out, f"lstm_skips.{i + 1}", p[f"skip{i}"])
+    # zero-filled identity-stage LSTM (see docstring); its geometry follows
+    # the model input channels and the skip lstm depth
+    cin = int(np.shape(enc_p["conv1"]["w"])[2])
+    n_layers = len(p["skip0"])
+    for l in range(n_layers):
+        in_dim = cin if l == 0 else cin
+        out[f"lstm_skips.0.layers.{l}.conv.weight"] = np.zeros(
+            (4 * cin, in_dim + cin, 3, 3), np.float32)
+        out[f"lstm_skips.0.layers.{l}.conv.bias"] = np.zeros(
+            (4 * cin,), np.float32)
+    return out
+
+
 def load_torch_resnet18(path: str, in_channels: int = 2) -> Dict[str, Any]:
     """Load + convert a local torchvision resnet18 checkpoint (.pth)."""
     import torch
