@@ -35,7 +35,7 @@ def test_dryrun_multichip_runs_on_virtual_mesh(capsys):
     mod.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "DP step OK" in out
-    assert "TP forward OK" in out
+    assert "TP train step OK" in out
     assert "SP time-pipelined ConvLSTM OK" in out
 
 

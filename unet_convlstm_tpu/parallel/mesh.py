@@ -77,3 +77,17 @@ class MeshRules:
                  for kp, leaf in flat]
         shardings = [NamedSharding(self.mesh, s) for s in specs]
         return jax.tree_util.tree_unflatten(treedef, shardings)
+
+    def tree_sharding(self, tree):
+        """Leaf-wise sharding for ANY pytree of arrays/ShapeDtypeStructs —
+        conv-kernel-shaped leaves get the TP channel rule, everything else
+        (biases, BN stats, optimizer scalars/moment trees' non-4D leaves)
+        replicates. Applying it to a whole train state
+        ``{params, stats, opt_state}`` shards the AdamW moments exactly like
+        their params (adam's mu/nu mirror the param tree), which is what
+        makes TP *training* — not just a sharded forward — work: each
+        device updates only its channel shard of params+moments, and XLA
+        inserts the gradient collectives."""
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(self.mesh, self.param_spec("", leaf)),
+            tree)

@@ -47,6 +47,12 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     tensorboard_dir: str = ""     # optional TB scalar logging
     log_every: int = 50
+    # failure detection (train/guard.py — the reference has none, SURVEY §5)
+    guard: bool = False           # epoch-level rollback on NaN/spiked loss
+    guard_spike_factor: float = 10.0  # val loss > factor x median → rollback
+    guard_max_events: int = 8     # rollback budget before giving up
+    skip_nonfinite_updates: Optional[int] = None  # on-device grad-NaN skip:
+    # max consecutive skipped steps (optax.apply_if_finite), None = off
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

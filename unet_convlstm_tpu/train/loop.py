@@ -39,14 +39,15 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
-def _append_history_csv(ckpt_dir: str, row: Dict[str, Any]) -> None:
+def _append_history_csv(ckpt_dir: str, row: Dict[str, Any],
+                        filename: str = "history.csv") -> None:
     """Persistent per-epoch metrics log (the reference only prints,
     main.py:302-304)."""
     import csv
     import os
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, "history.csv")
+    path = os.path.join(ckpt_dir, filename)
     new = not os.path.exists(path)
     with open(path, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(row))
@@ -111,18 +112,35 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
 
     mask = _trainable_mask(variables["params"], cfg.model)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip,
-                        trainable_mask=mask)
-    opt_state = jax.device_put(tx.init(variables["params"]),
-                               replicated_sharding(mesh))
+                        trainable_mask=mask,
+                        skip_nonfinite=cfg.skip_nonfinite_updates)
     state = {"params": variables["params"], "stats": variables["stats"],
-             "opt_state": opt_state}
+             "opt_state": tx.init(variables["params"])}
+
+    # mesh_model>1 → tensor-parallel training: conv kernels and their AdamW
+    # moments channel-sharded over 'model' (everything else replicated)
+    from ..parallel.mesh import MeshRules
+
+    rules = MeshRules(mesh, shard_model_channels=(mesh.shape["model"] > 1))
+    state_shard = rules.tree_sharding(state)
+    state = jax.device_put(state, state_shard)
 
     train_step = make_train_step(apply_fn, tx, dataset.stats,
-                                 use_mask=cfg.use_mask, mesh=mesh)
-    eval_step = make_eval_step(apply_fn, dataset.stats,
-                               use_mask=cfg.use_mask, mesh=mesh)
+                                 use_mask=cfg.use_mask, mesh=mesh,
+                                 state_sharding=state_shard)
+    eval_step = make_eval_step(
+        apply_fn, dataset.stats, use_mask=cfg.use_mask, mesh=mesh,
+        variables_sharding={"params": state_shard["params"],
+                            "stats": state_shard["stats"]})
     scheduler = ReduceLROnPlateau(cfg.lr, cfg.plateau_factor,
                                   cfg.plateau_patience)
+
+    guard = None
+    if cfg.guard:
+        from .guard import TrainingGuard
+
+        guard = TrainingGuard(cfg.guard_spike_factor,
+                              max_events=cfg.guard_max_events)
 
     start_epoch = 1
     best_val = float("inf")
@@ -131,15 +149,21 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
 
         restored, meta = restore_checkpoint(resume_from,
                                             state_template=state)
-        state = jax.device_put(restored, replicated_sharding(mesh))
+        state = jax.device_put(restored, state_shard)
         if "scheduler" in meta:
             scheduler.load_state_dict(meta["scheduler"])
             state["opt_state"] = set_learning_rate(state["opt_state"],
                                                    scheduler.lr)
+        if guard is not None and "guard" in meta:
+            guard.load_state_dict(meta["guard"])
         start_epoch = int(meta.get("epoch", 0)) + 1
         best_val = float(meta.get("val_loss", float("inf")))
         log(f"resumed from {resume_from} at epoch {start_epoch} "
             f"(best val {best_val:.4f}, lr {scheduler.lr:.2e})")
+
+    # last healthy end-of-epoch state, kept in host RAM for guard rollback
+    snapshot = (jax.device_get(state), scheduler.state_dict()) \
+        if guard is not None else None
 
     bat_shard = batch_sharding(mesh)
     train_loader = SequenceLoader(dataset, train_idx, cfg.batch_size,
@@ -216,6 +240,28 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         val_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
         va = metric_sums_finalize(jax.device_get(sums))
 
+        # ---- failure detection: roll back a poisoned/exploded epoch ----
+        if guard is not None:
+            reason = guard.check(tr_loss, val_loss)
+            if reason is not None:
+                guard.record_event(epoch, reason)  # raises past the budget
+                state = jax.device_put(snapshot[0], state_shard)
+                scheduler.load_state_dict(snapshot[1])
+                scheduler.lr = scheduler.lr * cfg.plateau_factor
+                state["opt_state"] = set_learning_rate(state["opt_state"],
+                                                       scheduler.lr)
+                row = {"epoch": epoch, "lr": scheduler.lr,
+                       "train_loss": tr_loss, "val_loss": val_loss,
+                       "train_time_s": tr_time, "guard_event": reason}
+                history.append(row)
+                if cfg.checkpoint_dir:
+                    _append_history_csv(cfg.checkpoint_dir, row,
+                                        "guard_events.csv")
+                log(f"Epoch {epoch}/{n_epochs}: GUARD — {reason}; rolled "
+                    f"back to last healthy state, lr -> {scheduler.lr:.2e} "
+                    f"(event {guard.n_events}/{guard.max_events})")
+                continue
+
         lr = scheduler.step(val_loss)
         state["opt_state"] = set_learning_rate(state["opt_state"], lr)
 
@@ -223,6 +269,11 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                "val_loss": val_loss, "train_time_s": tr_time,
                **{f"train_{k}": v for k, v in tr.items()},
                **{f"val_{k}": v for k, v in va.items()}}
+        if cfg.skip_nonfinite_updates is not None:
+            from .optim import nonfinite_step_count
+
+            row["nonfinite_steps"] = nonfinite_step_count(
+                state["opt_state"])
         history.append(row)
         if cfg.checkpoint_dir:
             _append_history_csv(cfg.checkpoint_dir, row)
@@ -238,23 +289,30 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             f"RMSE={va['rmse']:.4f} ME={va['me']:.4f} "
             f"| lr={lr:.2e} ({tr_time:.1f}s)")
 
+        if guard is not None:  # this epoch is healthy — new rollback point
+            snapshot = (jax.device_get(state), scheduler.state_dict())
+
         if val_loss < best_val:
             best_val = val_loss
             if cfg.checkpoint_dir:
-                save_checkpoint(
-                    cfg.checkpoint_dir, f"{model_name}_best", state,
-                    {"config": cfg.to_dict(), "val_loss": best_val,
-                     "epoch": epoch,
-                     "norm_stats": dataset.stats.to_dict(),
-                     "scheduler": scheduler.state_dict()})
+                meta = {"config": cfg.to_dict(), "val_loss": best_val,
+                        "epoch": epoch,
+                        "norm_stats": dataset.stats.to_dict(),
+                        "scheduler": scheduler.state_dict()}
+                if guard is not None:
+                    meta["guard"] = guard.state_dict()
+                save_checkpoint(cfg.checkpoint_dir, f"{model_name}_best",
+                                state, meta)
                 log("   -> new best; checkpoint saved")
 
     if cfg.checkpoint_dir:
-        save_checkpoint(
-            cfg.checkpoint_dir, f"{model_name}_last", state,
-            {"config": cfg.to_dict(), "val_loss": best_val,
-             "epoch": n_epochs, "norm_stats": dataset.stats.to_dict(),
-             "scheduler": scheduler.state_dict()}, wait=True)
+        meta = {"config": cfg.to_dict(), "val_loss": best_val,
+                "epoch": n_epochs, "norm_stats": dataset.stats.to_dict(),
+                "scheduler": scheduler.state_dict()}
+        if guard is not None:
+            meta["guard"] = guard.state_dict()
+        save_checkpoint(cfg.checkpoint_dir, f"{model_name}_last", state,
+                        meta, wait=True)
     if tb_writer is not None:
         tb_writer.close()
     if trace_active:  # run ended before step 20 — finalize the trace

@@ -21,9 +21,19 @@ import optax
 
 def make_optimizer(lr: float, weight_decay: float = 1e-4,
                    grad_clip: float = 1.0,
-                   trainable_mask: Optional[Any] = None):
+                   trainable_mask: Optional[Any] = None,
+                   skip_nonfinite: Optional[int] = None):
     """optax transform. ``trainable_mask``: pytree of bools matching params;
-    False leaves get zero updates (frozen encoder, main.py:257-261)."""
+    False leaves get zero updates (frozen encoder, main.py:257-261).
+
+    ``skip_nonfinite``: when set, wrap the chain in
+    ``optax.apply_if_finite`` — a step whose gradients contain NaN/Inf
+    leaves params AND optimizer moments untouched (decided on device by a
+    ``lax.cond``; zero host syncs, so the async dispatch pipeline is
+    unaffected). After ``skip_nonfinite`` consecutive bad steps the update
+    is accepted anyway (optax semantics) — the epoch-level ``TrainingGuard``
+    is the backstop for persistent blow-ups. The reference has no
+    equivalent: a single NaN batch poisons its weights permanently."""
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.inject_hyperparams(optax.adamw)(
@@ -34,7 +44,21 @@ def make_optimizer(lr: float, weight_decay: float = 1e-4,
             {"train": tx, "freeze": optax.set_to_zero()},
             param_labels=jax.tree_util.tree_map(
                 lambda t: "train" if t else "freeze", trainable_mask))
+    if skip_nonfinite is not None:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     return tx
+
+
+def nonfinite_step_count(opt_state) -> int:
+    """Total gradient updates rejected as non-finite so far (0 when the
+    optimizer was built without ``skip_nonfinite``)."""
+    node = opt_state
+    while not hasattr(node, "total_notfinite"):
+        if hasattr(node, "inner_state"):
+            node = node.inner_state
+        else:
+            return 0
+    return int(node.total_notfinite)
 
 
 def _find_inject_state(opt_state):
@@ -43,6 +67,8 @@ def _find_inject_state(opt_state):
         return opt_state
     if hasattr(opt_state, "inner_states"):  # multi_transform
         return _find_inject_state(opt_state.inner_states["train"].inner_state)
+    if hasattr(opt_state, "inner_state"):  # apply_if_finite wrapper
+        return _find_inject_state(opt_state.inner_state)
     if isinstance(opt_state, tuple):
         for s in opt_state:
             found = _find_inject_state(s)
@@ -72,6 +98,9 @@ def set_learning_rate(opt_state, lr: float):
             inner["train"] = inner["train"]._replace(
                 inner_state=swap(inner["train"].inner_state))
             return node._replace(inner_states=inner)
+        if (hasattr(node, "_fields") and hasattr(node, "inner_state")
+                and not hasattr(node, "hyperparams")):  # apply_if_finite
+            return node._replace(inner_state=swap(node.inner_state))
         if isinstance(node, tuple) and not hasattr(node, "_fields"):
             return tuple(swap(s) for s in node)
         return node

@@ -70,11 +70,18 @@ def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     norm_stats: NormStats, use_mask: bool = False,
                     grad_weight: float = 0.005,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True,
+                    state_sharding=None):
     """Build the jitted step: (state, x_raw, y_raw) → (state, loss, sums).
 
     ``apply_fn(variables, x_seq, state=None, train=...)`` → (y_seq, state,
     new_bn_stats); raw NHWC batches (normalization fuses into the step).
+
+    ``state_sharding``: optional pytree of NamedShardings matching the train
+    state — pass ``MeshRules.tree_sharding(state)`` to run tensor-parallel
+    training (conv kernels + their AdamW moments channel-sharded over the
+    mesh 'model' axis; XLA inserts the activation gathers and gradient
+    reduce-scatters). Default: state replicated (pure DP).
     """
     step = _make_step_core(apply_fn, tx, norm_stats, use_mask, grad_weight)
 
@@ -84,8 +91,9 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     if mesh is not None:
         rep = replicated_sharding(mesh)
         bat = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, bat, bat)
-        kwargs["out_shardings"] = (rep, rep, rep)
+        st = state_sharding if state_sharding is not None else rep
+        kwargs["in_shardings"] = (st, bat, bat)
+        kwargs["out_shardings"] = (st, rep, rep)
     return jax.jit(step, **kwargs)
 
 
@@ -128,7 +136,7 @@ def make_multi_train_step(apply_fn: Callable,
 
 def make_eval_step(apply_fn: Callable, norm_stats: NormStats,
                    use_mask: bool = False, grad_weight: float = 0.005,
-                   mesh=None):
+                   mesh=None, variables_sharding=None):
     """(variables, x_raw, y_raw) → (loss, sums) — reference evaluate()
     (main.py:151-205) as one jitted call."""
 
@@ -155,6 +163,7 @@ def make_eval_step(apply_fn: Callable, norm_stats: NormStats,
     if mesh is not None:
         rep = replicated_sharding(mesh)
         bat = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, bat, bat, rep)
+        var = variables_sharding if variables_sharding is not None else rep
+        kwargs["in_shardings"] = (var, bat, bat, rep)
         kwargs["out_shardings"] = (rep, rep)
     return jax.jit(step, **kwargs)
