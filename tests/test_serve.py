@@ -118,3 +118,52 @@ def test_http_server_roundtrip(checkpoint):
         assert conn.getresponse().status == 404
     finally:
         server.shutdown()
+
+
+def test_concurrent_sessions_race_free(checkpoint):
+    """Race detection: N threads stream interleaved 1-frame requests into
+    their own sessions concurrently. Each session's streamed outputs must
+    equal the sequential single-request reference bit-for-bit level —
+    proving the device lock serializes chip dispatch and the per-session
+    locks keep each recurrent state consistent under interleaving."""
+    import threading
+
+    ckpt, npz = checkpoint
+    pred = StreamingPredictor(ckpt)
+    data = np.load(npz)
+    x_all = np.ascontiguousarray(
+        np.moveaxis(data["X"][:4], 2, -1)).astype(np.float32)  # [4,3,32,32,2]
+    T = x_all.shape[1]
+
+    # sequential references, one whole-sequence request per stream
+    refs = []
+    for i in range(4):
+        sid = pred.open_session(1, 32, 32)
+        refs.append(pred.predict(sid, x_all[i:i + 1]))
+        pred.close_session(sid)
+
+    results = [None] * 4
+    errors = []
+    barrier = threading.Barrier(4)
+
+    def stream(i):
+        try:
+            sid = pred.open_session(1, 32, 32)
+            barrier.wait(timeout=120)   # maximize interleaving
+            parts = [pred.predict(sid, x_all[i:i + 1, t:t + 1])
+                     for t in range(T)]
+            results[i] = np.concatenate(parts, axis=1)
+            assert pred.session_info(sid)["frames_seen"] == T
+            pred.close_session(sid)
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=stream, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    for i in range(4):
+        np.testing.assert_allclose(results[i], refs[i],
+                                   rtol=1e-5, atol=1e-5)
