@@ -1,0 +1,88 @@
+"""XLA cost analysis + knob sweep for the PRODUCTION cloud config
+(base_ch 64, 128^2, T=12) — determines whether the step is FLOP- or
+HBM-bound at this width and measures the available knobs (batch size,
+unroll, remat). v5e roofline: ~197 TFLOPS bf16, ~819 GB/s HBM."""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+
+from unet_convlstm_tpu.models.registry import build_model
+from unet_convlstm_tpu.ops.normalize import NormStats
+from unet_convlstm_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding)
+from unet_convlstm_tpu.train import make_optimizer, make_train_step
+
+mesh = make_mesh(data=1)
+stats = NormStats(norm_const=43.45, min_vel=-8.0, max_vel=8.0, y_scale=2.0,
+                  trans_min=-2.0, trans_max=2.0)
+H, T = 128, 12
+CFG = {"type": "custom", "base_ch": 64, "use_skip_lstm": True,
+       "lstm_layers": 1}
+
+
+def build(B, unroll, remat=False, cost_only=False):
+    rng = np.random.default_rng(0)
+    x_raw = rng.random((B, T, H, H, 2), np.float32) * 3
+    y_raw = rng.standard_normal((B, T, H, H, 1)).astype(np.float32)
+    _, init_fn, apply_fn, _ = build_model(CFG)
+    af = functools.partial(apply_fn, unroll=unroll, remat=remat)
+    variables = init_fn(jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, replicated_sharding(mesh))
+    tx = make_optimizer(1e-3)
+    state = {"params": variables["params"], "stats": variables["stats"],
+             "opt_state": jax.device_put(tx.init(variables["params"]),
+                                         replicated_sharding(mesh))}
+    step = make_train_step(af, tx, stats, use_mask=False, mesh=mesh,
+                           donate=not cost_only)
+    xd = jax.device_put(x_raw, batch_sharding(mesh))
+    yd = jax.device_put(y_raw, batch_sharding(mesh))
+    return step, state, xd, yd
+
+
+def cost(B=32, unroll=10):
+    step, state, xd, yd = build(B, unroll, cost_only=True)
+    compiled = step.lower(state, xd, yd).compile()
+    ca = compiled.cost_analysis()
+    fl = ca.get("flops", 0.0)
+    by = ca.get("bytes accessed", 0.0)
+    print(f"B={B}: {fl/1e12:.2f} TFLOP/step, {by/1e9:.1f} GB/step")
+    print(f"  FLOP floor @197T: {fl/197e12*1e3:.1f} ms; "
+          f"HBM floor @819G/s: {by/819e9*1e3:.1f} ms; "
+          f"arith intensity {fl/by:.0f} FLOP/B (ridge ~241)")
+
+
+def measure(tag, B, unroll, remat=False, iters=8):
+    step, state, xd, yd = build(B, unroll, remat)
+    for _ in range(3):
+        state, loss, _ = step(state, xd, yd)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, xd, yd)
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{tag:34s} {dt*1e3:8.2f} ms/step  {B*T/dt:9.0f} frames/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "cost"
+    if which == "cost":
+        cost(32, 10)
+    elif which == "sweep":
+        for tag, B, unroll, remat in [
+            ("B=32 unroll=10 (prod baseline)", 32, 10, False),
+            ("B=32 unroll=12 (full)", 32, 12, False),
+            ("B=32 unroll=1", 32, 1, False),
+            ("B=16 unroll=12", 16, 12, False),
+            ("B=64 unroll=12", 64, 12, False),
+            ("B=32 unroll=12 remat", 32, 12, True),
+        ]:
+            try:
+                measure(tag, B, unroll, remat)
+            except Exception as e:
+                print(f"{tag}: FAILED {type(e).__name__}: {e}",
+                      flush=True)

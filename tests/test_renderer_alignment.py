@@ -303,3 +303,31 @@ def test_legacy_rotation_renders(rng):
                                      resolution=(32, 32),
                                      sun_dir=(0.2, 0.0, -0.98)))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_sweep_matches_march():
+    """The O(V) shear-sweep transmittance agrees with the O(V*L) per-voxel
+    ray march on a smooth cloud-like volume, across sun angles."""
+    z, y, x = np.meshgrid(np.arange(40), np.arange(24), np.arange(24),
+                          indexing="ij")
+    blob = np.exp(-(((z - 22) / 10.0) ** 2 + ((y - 12) / 7.0) ** 2
+                    + ((x - 10) / 7.0) ** 2))
+    beta = (0.005 * blob).astype(np.float32)
+    scene = VolumeScene(jnp.asarray(beta), 20.0)
+    for sun in [(0.0, 0.0, -1.0), (0.3, 0.2, -0.9), (-0.5, 0.1, -0.85)]:
+        t_march = np.asarray(sun_transmittance(scene, sun, method="march"))
+        t_sweep = np.asarray(sun_transmittance(scene, sun, method="sweep"))
+        assert np.abs(t_sweep - t_march).max() < 0.03, sun
+
+    # vertical sun: identical quadrature -> near-exact
+    tm = np.asarray(sun_transmittance(scene, (0.0, 0.0, -1.0),
+                                      method="march"))
+    ts = np.asarray(sun_transmittance(scene, (0.0, 0.0, -1.0),
+                                      method="sweep"))
+    np.testing.assert_allclose(ts, tm, atol=1e-5)
+
+    # grazing sun: 'auto' falls back to the march
+    t_auto = np.asarray(sun_transmittance(scene, (0.95, 0.0, -0.1)))
+    t_march = np.asarray(sun_transmittance(scene, (0.95, 0.0, -0.1),
+                                           method="march"))
+    np.testing.assert_array_equal(t_auto, t_march)

@@ -132,13 +132,90 @@ def _sun_transmittance_impl(beta, voxel_size, min_bound, sun_dir, step,
     return jnp.exp(-tau)
 
 
+@partial(jax.jit, static_argnames=("pad",))
+def _sun_transmittance_shear_impl(beta, sx, sy, delta, pad):
+    """O(V) shear-warp optical depth (beta z-ordered so the sun side is the
+    LAST layer; (sx, sy) = ray shear in voxels per layer; delta = path
+    length per layer; ``pad`` >= |shear| * nz keeps every ray column inside
+    the sheared frame).
+
+    Three exact-by-construction stages (the classic shear-warp transform —
+    no accumulated resampling, unlike a naive per-layer shift recurrence
+    whose bilinear smoothing compounds over nz layers):
+      1. shear: each beta layer is bilinearly resampled ONCE into a padded
+         frame where every sun ray is a vertical column,
+      2. integrate: reverse cumulative sum along z — the marcher's own
+         quadrature (half-voxel self term + full step per layer above),
+      3. unshear: one bilinear lookup of the column integral per voxel.
+    Replaces the O(V * L) per-voxel ray march (~1e9 serial gathers on a
+    128x128x200 patch) with 2*nz plane resamplings + one cumsum."""
+    from jax.scipy.ndimage import map_coordinates
+
+    nz, ny, nx = beta.shape
+    zi = jnp.arange(nz, dtype=jnp.float32)
+    py, px = jnp.meshgrid(jnp.arange(ny + 2 * pad, dtype=jnp.float32),
+                          jnp.arange(nx + 2 * pad, dtype=jnp.float32),
+                          indexing="ij")
+    wy, wx = jnp.meshgrid(jnp.arange(ny, dtype=jnp.float32),
+                          jnp.arange(nx, dtype=jnp.float32), indexing="ij")
+
+    def shear_layer(z, plane):
+        # sheared cell (Y, X) <- world (Y - pad + sy*z, X - pad + sx*z);
+        # outside the volume there is no medium -> cval 0
+        return map_coordinates(plane, [py - pad + sy * z,
+                                       px - pad + sx * z],
+                               order=1, cval=0.0)
+
+    sb = jax.vmap(shear_layer)(zi, beta)            # [nz, ny+2p, nx+2p]
+    rev = jnp.cumsum(sb[::-1], axis=0)[::-1]        # sum_{k >= z} sb[k]
+    tau_sh = delta * (rev - 0.5 * sb)               # marcher quadrature
+
+    def unshear_layer(z, plane):
+        return map_coordinates(plane, [wy + pad - sy * z,
+                                       wx + pad - sx * z],
+                               order=1, cval=0.0)
+
+    tau = jax.vmap(unshear_layer)(zi, tau_sh)
+    return jnp.exp(-tau)
+
+
 def sun_transmittance(scene: VolumeScene, sun_dir,
-                      step: Optional[float] = None) -> jax.Array:
+                      step: Optional[float] = None,
+                      method: str = "auto") -> jax.Array:
+    """Per-voxel transmittance toward the sun.
+
+    ``method``: 'sweep' (O(V) shear-warp, the default via 'auto' whenever
+    the sun is > ~27 deg above the horizon), 'march' (the reference-style
+    per-voxel ray march, O(V*L) — also the 'auto' fallback for grazing sun
+    angles, where the shear padding outgrows the plane). Both use the same
+    quadrature (half-voxel self-term + one step per layer); the sweep
+    samples bilinearly where the march samples nearest-voxel, and they
+    agree to ~1% transmittance on cloud-like volumes
+    (tests/test_renderer_alignment.py::test_sweep_matches_march)."""
+    sun = np.asarray(sun_dir, np.float32)
+    toward = -sun / np.linalg.norm(sun)
+    if method == "auto":
+        method = "sweep" if abs(float(toward[2])) >= 0.45 else "march"
+    if method == "sweep":
+        tz = float(toward[2])
+        flip = tz < 0  # sun below: sweep from the bottom layer instead
+        beta = scene.beta[::-1] if flip else scene.beta
+        # shear per layer, in voxels; delta = path length per layer
+        sx = float(toward[0] / abs(tz))
+        sy = float(toward[1] / abs(tz))
+        delta = scene.voxel_size / abs(tz)
+        nz = beta.shape[0]
+        shear = max(abs(sx), abs(sy)) * nz
+        pad = int(-(-(shear + 1) // 8) * 8)  # bucket to 8: few recompiles
+        t = _sun_transmittance_shear_impl(
+            beta, jnp.float32(sx), jnp.float32(sy), jnp.float32(delta),
+            pad)
+        return t[::-1] if flip else t
     step = step or scene.voxel_size
     n_steps = int(scene.diagonal / step) + 2
     return _sun_transmittance_impl(
         scene.beta, scene.voxel_size, jnp.asarray(scene.min_bound),
-        jnp.asarray(sun_dir, jnp.float32), float(step), n_steps)
+        jnp.asarray(sun, jnp.float32), float(step), n_steps)
 
 
 def legacy_sensor_rotation(origin, target, up, sat_zenith_deg: float,
