@@ -148,32 +148,50 @@ def _sun_transmittance_shear_impl(beta, sx, sy, delta, pad):
          quadrature (half-voxel self term + full step per layer above),
       3. unshear: one bilinear lookup of the column integral per voxel.
     Replaces the O(V * L) per-voxel ray march (~1e9 serial gathers on a
-    128x128x200 patch) with 2*nz plane resamplings + one cumsum."""
-    from jax.scipy.ndimage import map_coordinates
+    128x128x200 patch) with 2*nz plane resamplings + one cumsum.
 
+    Because the shift is CONSTANT within a layer, each bilinear resampling
+    is four ``dynamic_slice`` reads + a weighted sum — contiguous vector
+    copies, not the per-element gathers ``map_coordinates`` lowers to
+    (TPU gathers are VPU-serial; slices run at copy bandwidth)."""
     nz, ny, nx = beta.shape
+    P_y, P_x = ny + 2 * pad, nx + 2 * pad
+
+    def shift2d(E, oy, ox, out_h, out_w):
+        """Bilinear sample of E at (i + oy, j + ox) for an out_h x out_w
+        output anchored at E's origin; (oy, ox) are traced scalars."""
+        iy = jnp.floor(oy)
+        ix = jnp.floor(ox)
+        fy, fx = oy - iy, ox - ix
+        iy = iy.astype(jnp.int32)
+        ix = ix.astype(jnp.int32)
+        s00 = jax.lax.dynamic_slice(E, (iy, ix), (out_h, out_w))
+        s01 = jax.lax.dynamic_slice(E, (iy, ix + 1), (out_h, out_w))
+        s10 = jax.lax.dynamic_slice(E, (iy + 1, ix), (out_h, out_w))
+        s11 = jax.lax.dynamic_slice(E, (iy + 1, ix + 1), (out_h, out_w))
+        return ((1 - fy) * ((1 - fx) * s00 + fx * s01)
+                + fy * ((1 - fx) * s10 + fx * s11))
+
+    # beta embedded at offset 2*pad: sheared cell (Y, X) reads world
+    # (Y - pad + sy*z) -> embedded index Y + pad + sy*z, in-range for
+    # |shear| <= pad by construction.
+    E = jnp.pad(beta, ((0, 0), (2 * pad, 2 * pad + 1),
+                       (2 * pad, 2 * pad + 1)))
     zi = jnp.arange(nz, dtype=jnp.float32)
-    py, px = jnp.meshgrid(jnp.arange(ny + 2 * pad, dtype=jnp.float32),
-                          jnp.arange(nx + 2 * pad, dtype=jnp.float32),
-                          indexing="ij")
-    wy, wx = jnp.meshgrid(jnp.arange(ny, dtype=jnp.float32),
-                          jnp.arange(nx, dtype=jnp.float32), indexing="ij")
 
     def shear_layer(z, plane):
-        # sheared cell (Y, X) <- world (Y - pad + sy*z, X - pad + sx*z);
-        # outside the volume there is no medium -> cval 0
-        return map_coordinates(plane, [py - pad + sy * z,
-                                       px - pad + sx * z],
-                               order=1, cval=0.0)
+        return shift2d(plane, pad + sy * z, pad + sx * z, P_y, P_x)
 
-    sb = jax.vmap(shear_layer)(zi, beta)            # [nz, ny+2p, nx+2p]
+    sb = jax.vmap(shear_layer)(zi, E)               # [nz, ny+2p, nx+2p]
     rev = jnp.cumsum(sb[::-1], axis=0)[::-1]        # sum_{k >= z} sb[k]
     tau_sh = delta * (rev - 0.5 * sb)               # marcher quadrature
 
+    # world voxel (z, y, x) reads sheared (y + pad - sy*z); pad by one so
+    # the +1 bilinear taps stay in range at the extremes.
+    tau_sh = jnp.pad(tau_sh, ((0, 0), (0, 1), (0, 1)))
+
     def unshear_layer(z, plane):
-        return map_coordinates(plane, [wy + pad - sy * z,
-                                       wx + pad - sx * z],
-                               order=1, cval=0.0)
+        return shift2d(plane, pad - sy * z, pad - sx * z, ny, nx)
 
     tau = jax.vmap(unshear_layer)(zi, tau_sh)
     return jnp.exp(-tau)
