@@ -429,7 +429,10 @@ def build_parser() -> argparse.ArgumentParser:
     gs.add_argument("--out", required=True)
     gs.add_argument("--seq-len", type=int, default=12)
     gs.add_argument("--num-samples", type=int, default=49)
-    gs.add_argument("--map-type", choices=["w", "u", "v"], default="w")
+    gs.add_argument("--map-type", default="w",
+                    help="target channels: one or more of w/u/v; 'wvu' "
+                         "builds the 3-channel target "
+                         "(build_WVU_maps.py:161-174)")
     gs.add_argument("--map-suffix", default="slice_1000m")
     gs.set_defaults(fn=cmd_gen_sequences)
 

@@ -71,6 +71,10 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
     (C=len(map_type); the multi-channel trainer config, BASELINE.json
     configs[3]). Returns the written npz path (map-type suffixed) or None
     if nothing assembled."""
+    bad = set(map_type) - set("wuv")
+    if not map_type or bad:
+        raise ValueError(f"map_type must be letters from 'wuv', got "
+                         f"{map_type!r}")
     log = print if verbose else (lambda *a, **k: None)
     folders = sorted((f for f in os.listdir(root_images) if f.isdigit()),
                      key=int)
