@@ -226,19 +226,26 @@ def test_fit_guard_rolls_back_poisoned_epoch(tiny_npz, tmp_path):
 
 def test_fit_skip_nonfinite_keeps_params_clean(tiny_npz, tmp_path):
     """Same poisoned epoch, step-level defense only: every NaN-grad step is
-    rejected on device, so params after the poisoned epoch equal the
-    epoch-1 params bit-for-bit (no guard rollback involved)."""
+    rejected on device, so params AND BatchNorm running stats survive the
+    poisoned epoch (a NaN forward must not commit running stats either —
+    eval mode reads them, so one poisoned commit would make every later
+    epoch's val loss NaN), and the next clean epoch evaluates finite."""
     from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
     from unet_convlstm_tpu.train.loop import fit
 
-    cfg = _tiny_cfg(tiny_npz, tmp_path, epochs=2, skip_nonfinite_updates=100)
+    cfg = _tiny_cfg(tiny_npz, tmp_path, epochs=3, skip_nonfinite_updates=100)
     ds = NPZSequenceDataset(cfg.npz_path)
     poisoned = _PoisonEpoch(ds, poison_epoch=2, calls_per_epoch=3)
     out = fit(cfg, dataset=poisoned, verbose=False)
 
-    assert out["history"][-1]["nonfinite_steps"] == 2  # both epoch-2 steps
-    leaves = jax.tree_util.tree_leaves(out["state"]["params"])
-    assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
+    assert out["history"][1]["nonfinite_steps"] == 2  # both epoch-2 steps
+    for part in ("params", "stats"):
+        leaves = jax.tree_util.tree_leaves(out["state"][part])
+        assert all(np.isfinite(np.asarray(l, np.float32)).all()
+                   for l in leaves), part
+    # epoch 3 (clean data again) must be fully healthy
+    assert np.isfinite(out["history"][2]["val_loss"])
+    assert np.isfinite(out["history"][2]["train_loss"])
 
 
 def test_fit_guard_gives_up_on_persistent_failure(tiny_npz, tmp_path):

@@ -331,3 +331,42 @@ def test_sweep_matches_march():
     t_march = np.asarray(sun_transmittance(scene, (0.95, 0.0, -0.1),
                                            method="march"))
     np.testing.assert_array_equal(t_auto, t_march)
+
+
+def test_transmittance_method_contract():
+    """Explicit step forces the march under 'auto' (the sweep cannot honor
+    a quadrature-step request); both methods normalize sun_dir; bad inputs
+    fail loudly."""
+    beta = np.zeros((10, 8, 8), np.float32)
+    beta[3:7, 2:6, 2:6] = 0.01
+    scene = VolumeScene(jnp.asarray(beta), 20.0)
+
+    # explicit step under 'auto' -> march result exactly
+    t_auto = np.asarray(sun_transmittance(scene, (0.1, 0.0, -1.0),
+                                          step=5.0))
+    t_march = np.asarray(sun_transmittance(scene, (0.1, 0.0, -1.0),
+                                           step=5.0, method="march"))
+    np.testing.assert_array_equal(t_auto, t_march)
+
+    # unnormalized sun vector: both methods agree with the unit-vector run
+    sun2 = (0.6, 0.4, -1.8)
+    unit = tuple(np.asarray(sun2) / np.linalg.norm(sun2))
+    for method in ("march", "sweep"):
+        a = np.asarray(sun_transmittance(scene, sun2, method=method))
+        b = np.asarray(sun_transmittance(scene, unit, method=method))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    with pytest.raises(ValueError, match="horizontal sun"):
+        sun_transmittance(scene, (1.0, 0.0, 0.0), method="sweep")
+    with pytest.raises(ValueError, match="unknown method"):
+        sun_transmittance(scene, (0.0, 0.0, -1.0), method="swep")
+
+
+def test_sequences_map_type_validation(tmp_path):
+    from unet_convlstm_tpu.datagen.sequences import build_trajectory_sequences
+
+    for bad in ("ww", "q", "", "wvx"):
+        with pytest.raises(ValueError, match="map_type"):
+            build_trajectory_sequences(str(tmp_path), str(tmp_path),
+                                       str(tmp_path / "o.npz"),
+                                       map_type=bad, verbose=False)

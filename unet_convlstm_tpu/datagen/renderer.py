@@ -203,19 +203,32 @@ def sun_transmittance(scene: VolumeScene, sun_dir,
     """Per-voxel transmittance toward the sun.
 
     ``method``: 'sweep' (O(V) shear-warp, the default via 'auto' whenever
-    the sun is > ~27 deg above the horizon), 'march' (the reference-style
-    per-voxel ray march, O(V*L) — also the 'auto' fallback for grazing sun
-    angles, where the shear padding outgrows the plane). Both use the same
-    quadrature (half-voxel self-term + one step per layer); the sweep
-    samples bilinearly where the march samples nearest-voxel, and they
-    agree to ~1% transmittance on cloud-like volumes
-    (tests/test_renderer_alignment.py::test_sweep_matches_march)."""
+    the sun is > ~27 deg above the horizon and no explicit ``step`` was
+    requested), 'march' (the reference-style per-voxel ray march, O(V*L) —
+    also the 'auto' fallback for grazing sun angles, where the shear
+    padding outgrows the plane, and for explicit ``step`` requests, which
+    the sweep cannot honor: its quadrature spacing is fixed at one layer
+    per step). Both use the same quadrature (half-voxel self-term + one
+    step per layer); the sweep samples bilinearly where the march samples
+    nearest-voxel, and they agree to ~1% transmittance on cloud-like
+    volumes (tests/test_renderer_alignment.py::test_sweep_matches_march).
+    ``sun_dir`` is normalized here so both methods integrate true path
+    length regardless of the caller's vector scale."""
+    if method not in ("auto", "sweep", "march"):
+        raise ValueError(f"unknown method {method!r}: "
+                         f"expected 'auto', 'sweep' or 'march'")
     sun = np.asarray(sun_dir, np.float32)
-    toward = -sun / np.linalg.norm(sun)
+    sun = sun / np.linalg.norm(sun)
+    toward = -sun
     if method == "auto":
-        method = "sweep" if abs(float(toward[2])) >= 0.45 else "march"
+        method = ("sweep" if abs(float(toward[2])) >= 0.45 and step is None
+                  else "march")
     if method == "sweep":
         tz = float(toward[2])
+        if abs(tz) < 1e-3:
+            raise ValueError(
+                "method='sweep' cannot integrate a horizontal sun "
+                "(|z-component| < 1e-3); use method='march'")
         flip = tz < 0  # sun below: sweep from the bottom layer instead
         beta = scene.beta[::-1] if flip else scene.beta
         # shear per layer, in voxels; delta = path length per layer
@@ -419,11 +432,16 @@ def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     approximation of the reference's full volpath multiple scattering
     (mitsuba3/render.py:215-218). Pass a precomputed ``e_ms`` to amortize
     it across views sharing a timestamp (like ``t_sun``)."""
+    # keep the caller's step intent: None means "defaults everywhere",
+    # which lets sun_transmittance pick the fast shear-warp; an explicit
+    # step is a quadrature request and forces the march there too
+    user_step = step
     step = step or scene.voxel_size
     sun_dir = jnp.asarray(sun_dir, jnp.float32)
     sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
     if t_sun is None:
-        t_sun = sun_transmittance(scene, sun_dir, step)
+        t_sun = sun_transmittance(scene, np.asarray(sun_dir),
+                                  step=user_step)
     use_ms = ms_orders > 1 or e_ms is not None
     if use_ms and e_ms is None:
         e_ms = multiple_scatter_fluence(scene.beta, t_sun, float(step),

@@ -72,9 +72,9 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
     configs[3]). Returns the written npz path (map-type suffixed) or None
     if nothing assembled."""
     bad = set(map_type) - set("wuv")
-    if not map_type or bad:
-        raise ValueError(f"map_type must be letters from 'wuv', got "
-                         f"{map_type!r}")
+    if not map_type or bad or len(set(map_type)) != len(map_type):
+        raise ValueError(f"map_type must be distinct letters from 'wuv', "
+                         f"got {map_type!r}")
     log = print if verbose else (lambda *a, **k: None)
     folders = sorted((f for f in os.listdir(root_images) if f.isdigit()),
                      key=int)

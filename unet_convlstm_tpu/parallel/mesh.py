@@ -71,12 +71,9 @@ class MeshRules:
             return P(None, None, None, "model")
         return P()
 
-    def params_sharding(self, params) -> "jax.tree_util.PyTreeDef":
-        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-        specs = [self.param_spec(jax.tree_util.keystr(kp), leaf)
-                 for kp, leaf in flat]
-        shardings = [NamedSharding(self.mesh, s) for s in specs]
-        return jax.tree_util.tree_unflatten(treedef, shardings)
+    def params_sharding(self, params):
+        """Alias of ``tree_sharding`` kept for the params-only call sites."""
+        return self.tree_sharding(params)
 
     def tree_sharding(self, tree):
         """Leaf-wise sharding for ANY pytree of arrays/ShapeDtypeStructs —

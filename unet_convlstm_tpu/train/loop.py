@@ -125,9 +125,10 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     state_shard = rules.tree_sharding(state)
     state = jax.device_put(state, state_shard)
 
-    train_step = make_train_step(apply_fn, tx, dataset.stats,
-                                 use_mask=cfg.use_mask, mesh=mesh,
-                                 state_sharding=state_shard)
+    train_step = make_train_step(
+        apply_fn, tx, dataset.stats, use_mask=cfg.use_mask, mesh=mesh,
+        state_sharding=state_shard,
+        guard_nonfinite_stats=cfg.skip_nonfinite_updates is not None)
     eval_step = make_eval_step(
         apply_fn, dataset.stats, use_mask=cfg.use_mask, mesh=mesh,
         variables_sharding={"params": state_shard["params"],
@@ -244,10 +245,34 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         if guard is not None:
             reason = guard.check(tr_loss, val_loss)
             if reason is not None:
-                guard.record_event(epoch, reason)  # raises past the budget
+                try:
+                    guard.record_event(epoch, reason)
+                except RuntimeError:
+                    # budget exhausted: persist the LAST HEALTHY state (the
+                    # snapshot — current device state is the diverged one)
+                    # before propagating, so hours of training survive the
+                    # exact failure case the guard exists for
+                    if cfg.checkpoint_dir:
+                        save_checkpoint(
+                            cfg.checkpoint_dir, f"{model_name}_last",
+                            snapshot[0],
+                            {"config": cfg.to_dict(), "val_loss": best_val,
+                             "epoch": epoch - 1,
+                             "norm_stats": dataset.stats.to_dict(),
+                             "scheduler": snapshot[1],
+                             "guard": guard.state_dict()}, wait=True)
+                    if tb_writer is not None:
+                        tb_writer.close()
+                    if trace_active:
+                        try:
+                            jax.profiler.stop_trace()
+                        except Exception as e:
+                            log(f"[profiler] stop failed: {e}")
+                    raise
                 state = jax.device_put(snapshot[0], state_shard)
                 scheduler.load_state_dict(snapshot[1])
-                scheduler.lr = scheduler.lr * cfg.plateau_factor
+                scheduler.lr = max(scheduler.lr * cfg.plateau_factor,
+                                   scheduler.min_lr)
                 state["opt_state"] = set_learning_rate(state["opt_state"],
                                                        scheduler.lr)
                 row = {"epoch": epoch, "lr": scheduler.lr,

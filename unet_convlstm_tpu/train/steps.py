@@ -33,10 +33,20 @@ TrainState = Dict[str, Any]  # {"params", "stats", "opt_state"}
 
 def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
                     norm_stats: NormStats, use_mask: bool,
-                    grad_weight: float):
+                    grad_weight: float,
+                    guard_nonfinite_stats: bool = False):
     """The one training-step body shared by the single-step and K-step
     (scanned) trainers — edits here keep both in lockstep (their exact
-    equivalence is tested)."""
+    equivalence is tested).
+
+    ``guard_nonfinite_stats`` (set when the optimizer runs under
+    ``skip_nonfinite``): a batch with non-finite gradients must leave ALL
+    persistent state untouched — ``optax.apply_if_finite`` covers params
+    and moments, but the BatchNorm running stats are committed outside the
+    optimizer, and one NaN forward would otherwise poison them forever
+    (eval mode reads running stats, so every later epoch's val loss would
+    be NaN even with pristine params). Same on-device lax-select
+    discipline: no host syncs."""
 
     def step_core(state: TrainState, x_raw, y_raw):
         x = normalize_x(x_raw, norm_stats)
@@ -55,6 +65,13 @@ def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
         updates, new_opt = tx.update(grads, state["opt_state"],
                                      state["params"])
         new_params = optax.apply_updates(state["params"], updates)
+        if guard_nonfinite_stats:
+            finite = jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(g))
+                for g in jax.tree_util.tree_leaves(grads)]))
+            new_bn = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o.astype(n.dtype)),
+                new_bn, state["stats"])
         sums = metric_sums_update(
             metric_sums_init(),
             denormalize_y(y_pred.astype(jnp.float32), norm_stats),
@@ -71,7 +88,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     norm_stats: NormStats, use_mask: bool = False,
                     grad_weight: float = 0.005,
                     mesh=None, donate: bool = True,
-                    state_sharding=None):
+                    state_sharding=None,
+                    guard_nonfinite_stats: bool = False):
     """Build the jitted step: (state, x_raw, y_raw) → (state, loss, sums).
 
     ``apply_fn(variables, x_seq, state=None, train=...)`` → (y_seq, state,
@@ -83,7 +101,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     mesh 'model' axis; XLA inserts the activation gathers and gradient
     reduce-scatters). Default: state replicated (pure DP).
     """
-    step = _make_step_core(apply_fn, tx, norm_stats, use_mask, grad_weight)
+    step = _make_step_core(apply_fn, tx, norm_stats, use_mask, grad_weight,
+                           guard_nonfinite_stats)
 
     kwargs: Dict[str, Any] = {}
     if donate:
@@ -100,7 +119,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 def make_multi_train_step(apply_fn: Callable,
                           tx: optax.GradientTransformation,
                           norm_stats: NormStats, use_mask: bool = False,
-                          grad_weight: float = 0.005, mesh=None):
+                          grad_weight: float = 0.005, mesh=None,
+                          guard_nonfinite_stats: bool = False):
     """K training steps per dispatch: (state, x_raw [K,B,...],
     y_raw [K,B,...]) → (state, losses [K], summed metric sums).
 
@@ -110,7 +130,7 @@ def make_multi_train_step(apply_fn: Callable,
     step k with the forward of step k+1. Use when the K-batch window fits
     HBM; the single-step variant streams otherwise."""
     step_core = _make_step_core(apply_fn, tx, norm_stats, use_mask,
-                                grad_weight)
+                                grad_weight, guard_nonfinite_stats)
 
     def step_body(state, batch):
         x_raw, y_raw = batch
