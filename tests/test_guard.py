@@ -265,3 +265,41 @@ def test_fit_guard_gives_up_on_persistent_failure(tiny_npz, tmp_path):
 
     with pytest.raises(RuntimeError, match="Persistent divergence"):
         fit(cfg, dataset=_AlwaysPoison(ds, 0, 1), verbose=False)
+
+
+class _PoisonEpochs(_PoisonEpoch):
+    def __init__(self, dataset, poison_epochs, calls_per_epoch):
+        super().__init__(dataset, 0, calls_per_epoch)
+        self._poison_set = set(poison_epochs)
+
+    def get_batch_raw(self, idx):
+        x, y = self._ds.get_batch_raw(idx)
+        epoch = self._calls // self._cpe + 1
+        self._calls += 1
+        if epoch in self._poison_set:
+            x = np.full_like(x, np.nan)
+        return x, y
+
+
+def test_fit_guard_compounds_lr_cut_on_consecutive_failures(tiny_npz,
+                                                            tmp_path):
+    """Two consecutive poisoned epochs: the second rollback must cut the
+    LR by factor^2 from the healthy snapshot (restoring the snapshot's
+    scheduler would otherwise retry the same once-cut LR forever)."""
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.train.loop import fit
+
+    cfg = _tiny_cfg(tiny_npz, tmp_path, guard=True, epochs=5)
+    ds = NPZSequenceDataset(cfg.npz_path)
+    poisoned = _PoisonEpochs(ds, {2, 3}, calls_per_epoch=3)
+    out = fit(cfg, dataset=poisoned, verbose=False)
+
+    events = [r for r in out["history"] if "guard_event" in r]
+    assert [e["epoch"] for e in events] == [2, 3]
+    assert events[0]["lr"] == pytest.approx(cfg.lr * cfg.plateau_factor)
+    assert events[1]["lr"] == pytest.approx(cfg.lr * cfg.plateau_factor**2)
+    healthy = [r for r in out["history"] if "guard_event" not in r]
+    # epochs 4-5 run at the compounded LR; epoch 4's healthy check resets
+    # the consecutive counter
+    assert healthy[-1]["lr"] == pytest.approx(cfg.lr * cfg.plateau_factor**2)
+    assert all(np.isfinite(r["val_loss"]) for r in healthy)

@@ -224,6 +224,11 @@ def sun_transmittance(scene: VolumeScene, sun_dir,
         method = ("sweep" if abs(float(toward[2])) >= 0.45 and step is None
                   else "march")
     if method == "sweep":
+        if step is not None:
+            raise ValueError(
+                "method='sweep' integrates at fixed one-layer spacing and "
+                "cannot honor an explicit step; omit step or use "
+                "method='march'")
         tz = float(toward[2])
         if abs(tz) < 1e-3:
             raise ValueError(

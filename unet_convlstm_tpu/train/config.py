@@ -28,6 +28,7 @@ class TrainConfig:
     grad_clip: float = 1.0
     plateau_factor: float = 0.5
     plateau_patience: int = 3
+    min_lr: float = 0.0           # LR floor for plateau + guard cuts
     use_mask: bool = False        # reference main.py:219
     # raw-radiance cloud threshold (reference unet.py:279 hardcodes 1.1;
     # plots/show_sequences.py exists to tune it — here it is a config knob)

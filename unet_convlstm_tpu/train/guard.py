@@ -46,6 +46,10 @@ class TrainingGuard:
         self.max_events = max_events
         self.recent: List[float] = []  # last healthy val losses
         self.n_events = 0
+        self.consecutive = 0  # events since the last healthy epoch —
+        # rollback restores the snapshot's scheduler, so the loop compounds
+        # the LR cut by factor**consecutive (a single cut would otherwise
+        # retry the same too-high LR until the budget burns out)
 
     def check(self, train_loss: float, val_loss: float) -> Optional[str]:
         for name, v in (("train", train_loss), ("val", val_loss)):
@@ -58,12 +62,14 @@ class TrainingGuard:
                         f"{self.spike_factor:g} x median {baseline:.4g}")
         self.recent.append(val_loss)
         self.recent = self.recent[-self.window:]
+        self.consecutive = 0
         return None
 
     def record_event(self, epoch: int, reason: str) -> None:
         """Count a rollback; raise once the budget is exhausted (persistent
         failure — rolling back further cannot converge)."""
         self.n_events += 1
+        self.consecutive += 1
         if self.n_events > self.max_events:
             raise RuntimeError(
                 f"training guard: {self.n_events} rollbacks "
@@ -71,8 +77,10 @@ class TrainingGuard:
                 f"{reason}. Persistent divergence — stopping.")
 
     def state_dict(self):
-        return {"recent": list(self.recent), "n_events": self.n_events}
+        return {"recent": list(self.recent), "n_events": self.n_events,
+                "consecutive": self.consecutive}
 
     def load_state_dict(self, d):
         self.recent = list(d.get("recent", []))
         self.n_events = int(d.get("n_events", 0))
+        self.consecutive = int(d.get("consecutive", 0))

@@ -134,7 +134,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         variables_sharding={"params": state_shard["params"],
                             "stats": state_shard["stats"]})
     scheduler = ReduceLROnPlateau(cfg.lr, cfg.plateau_factor,
-                                  cfg.plateau_patience)
+                                  cfg.plateau_patience, min_lr=cfg.min_lr)
 
     guard = None
     if cfg.guard:
@@ -162,9 +162,10 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         log(f"resumed from {resume_from} at epoch {start_epoch} "
             f"(best val {best_val:.4f}, lr {scheduler.lr:.2e})")
 
-    # last healthy end-of-epoch state, kept in host RAM for guard rollback
-    snapshot = (jax.device_get(state), scheduler.state_dict()) \
-        if guard is not None else None
+    # last healthy end-of-epoch (state, scheduler, epoch), kept in host RAM
+    # for guard rollback
+    snapshot = (jax.device_get(state), scheduler.state_dict(),
+                start_epoch - 1) if guard is not None else None
 
     bat_shard = batch_sharding(mesh)
     train_loader = SequenceLoader(dataset, train_idx, cfg.batch_size,
@@ -191,144 +192,165 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     global_step = 0
     trace_active = False
 
-    for epoch in range(start_epoch, n_epochs + 1):
-        # ---- train ----
-        t0 = time.time()
-        losses, sums = [], metric_sums_init()
-        n_seen = 0
-        for x_raw, y_raw in prefetch_to_device(train_loader, 2, bat_shard):
-            if profile_dir and global_step == 10:
-                try:
-                    jax.profiler.start_trace(profile_dir)
-                    trace_active = True
-                except Exception as e:  # profiling is best-effort
-                    log(f"[profiler] start failed: {e}")
+    try:
+        for epoch in range(start_epoch, n_epochs + 1):
+            # ---- train ----
+            t0 = time.time()
+            losses, sums = [], metric_sums_init()
+            n_seen = 0
+            for x_raw, y_raw in prefetch_to_device(train_loader, 2, bat_shard):
+                if profile_dir and global_step == 10:
+                    try:
+                        jax.profiler.start_trace(profile_dir)
+                        trace_active = True
+                    except Exception as e:  # profiling is best-effort
+                        log(f"[profiler] start failed: {e}")
+                        profile_dir = None
+                state, loss, s = train_step(state, x_raw, y_raw)
+                losses.append(loss * x_raw.shape[0])
+                sums = _tree_add(sums, s)
+                n_seen += x_raw.shape[0]
+                global_step += 1
+                if trace_active and global_step >= 20:
+                    try:
+                        jax.profiler.stop_trace()
+                    except Exception as e:
+                        log(f"[profiler] stop failed: {e}")
+                    trace_active = False
                     profile_dir = None
-            state, loss, s = train_step(state, x_raw, y_raw)
-            losses.append(loss * x_raw.shape[0])
-            sums = _tree_add(sums, s)
-            n_seen += x_raw.shape[0]
-            global_step += 1
-            if trace_active and global_step >= 20:
-                try:
-                    jax.profiler.stop_trace()
-                except Exception as e:
-                    log(f"[profiler] stop failed: {e}")
-                trace_active = False
-                profile_dir = None
-        if not losses:
-            raise ValueError(
-                f"no train batches: {len(train_idx)} train samples with "
-                f"batch_size {cfg.batch_size} (drop_remainder) — lower the "
-                f"batch size or add data")
-        tr_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
-        tr = metric_sums_finalize(jax.device_get(sums))
-        tr_time = time.time() - t0
+            if not losses:
+                raise ValueError(
+                    f"no train batches: {len(train_idx)} train samples with "
+                    f"batch_size {cfg.batch_size} (drop_remainder) — lower the "
+                    f"batch size or add data")
+            tr_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
+            tr = metric_sums_finalize(jax.device_get(sums))
+            tr_time = time.time() - t0
 
-        # ---- eval (tail batches padded to keep shapes static/shardable) ----
-        variables = {"params": state["params"], "stats": state["stats"]}
-        losses, sums = [], metric_sums_init()
-        n_seen = 0
+            # ---- eval (tail batches padded to keep shapes static/shardable) ----
+            variables = {"params": state["params"], "stats": state["stats"]}
+            losses, sums = [], metric_sums_init()
+            n_seen = 0
 
-        for x_np, y_np in val_loader:
-            x_np, y_np, n_real = pad_batch(x_np, y_np, cfg.batch_size)
-            x_raw = jax.device_put(x_np, bat_shard)
-            y_raw = jax.device_put(y_np, bat_shard)
-            loss, s = eval_step(variables, x_raw, y_raw, n_real)
-            losses.append(loss * n_real)
-            sums = _tree_add(sums, s)
-            n_seen += int(n_real)
-        val_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
-        va = metric_sums_finalize(jax.device_get(sums))
+            for x_np, y_np in val_loader:
+                x_np, y_np, n_real = pad_batch(x_np, y_np, cfg.batch_size)
+                x_raw = jax.device_put(x_np, bat_shard)
+                y_raw = jax.device_put(y_np, bat_shard)
+                loss, s = eval_step(variables, x_raw, y_raw, n_real)
+                losses.append(loss * n_real)
+                sums = _tree_add(sums, s)
+                n_seen += int(n_real)
+            val_loss = float(jnp.sum(jnp.stack(losses))) / max(n_seen, 1)
+            va = metric_sums_finalize(jax.device_get(sums))
 
-        # ---- failure detection: roll back a poisoned/exploded epoch ----
-        if guard is not None:
-            reason = guard.check(tr_loss, val_loss)
-            if reason is not None:
-                try:
-                    guard.record_event(epoch, reason)
-                except RuntimeError:
-                    # budget exhausted: persist the LAST HEALTHY state (the
-                    # snapshot — current device state is the diverged one)
-                    # before propagating, so hours of training survive the
-                    # exact failure case the guard exists for
+            # ---- failure detection: roll back a poisoned/exploded epoch ----
+            if guard is not None:
+                reason = guard.check(tr_loss, val_loss)
+                if reason is not None:
+                    try:
+                        guard.record_event(epoch, reason)
+                    except RuntimeError:
+                        # budget exhausted: persist the LAST HEALTHY state (the
+                        # snapshot — current device state is the diverged one)
+                        # before propagating, so hours of training survive the
+                        # exact failure case the guard exists for. Stamped with
+                        # the snapshot's true epoch, the COMPOUNDED-cut LR (not
+                        # the one that diverged), and a fresh rollback budget —
+                        # the rescue point must be resumable-with-guard.
+                        if cfg.checkpoint_dir:
+                            sched_meta = dict(snapshot[1])
+                            sched_meta["lr"] = max(
+                                snapshot[1]["lr"]
+                                * cfg.plateau_factor ** guard.consecutive,
+                                cfg.min_lr)
+                            save_checkpoint(
+                                cfg.checkpoint_dir, f"{model_name}_last",
+                                snapshot[0],
+                                {"config": cfg.to_dict(), "val_loss": best_val,
+                                 "epoch": snapshot[2],
+                                 "norm_stats": dataset.stats.to_dict(),
+                                 "scheduler": sched_meta,
+                                 "guard": {"recent": [], "n_events": 0,
+                                           "consecutive": 0}}, wait=True)
+                        raise
+                    state = jax.device_put(snapshot[0], state_shard)
+                    scheduler.load_state_dict(snapshot[1])
+                    # compound the cut across CONSECUTIVE rollbacks — the
+                    # snapshot scheduler would otherwise reset the LR and every
+                    # retry would re-run the same too-high value
+                    scheduler.lr = max(
+                        snapshot[1]["lr"]
+                        * cfg.plateau_factor ** guard.consecutive,
+                        scheduler.min_lr)
+                    state["opt_state"] = set_learning_rate(state["opt_state"],
+                                                           scheduler.lr)
+                    row = {"epoch": epoch, "lr": scheduler.lr,
+                           "train_loss": tr_loss, "val_loss": val_loss,
+                           "train_time_s": tr_time, "guard_event": reason}
+                    history.append(row)
                     if cfg.checkpoint_dir:
-                        save_checkpoint(
-                            cfg.checkpoint_dir, f"{model_name}_last",
-                            snapshot[0],
-                            {"config": cfg.to_dict(), "val_loss": best_val,
-                             "epoch": epoch - 1,
-                             "norm_stats": dataset.stats.to_dict(),
-                             "scheduler": snapshot[1],
-                             "guard": guard.state_dict()}, wait=True)
-                    if tb_writer is not None:
-                        tb_writer.close()
-                    if trace_active:
-                        try:
-                            jax.profiler.stop_trace()
-                        except Exception as e:
-                            log(f"[profiler] stop failed: {e}")
-                    raise
-                state = jax.device_put(snapshot[0], state_shard)
-                scheduler.load_state_dict(snapshot[1])
-                scheduler.lr = max(scheduler.lr * cfg.plateau_factor,
-                                   scheduler.min_lr)
-                state["opt_state"] = set_learning_rate(state["opt_state"],
-                                                       scheduler.lr)
-                row = {"epoch": epoch, "lr": scheduler.lr,
-                       "train_loss": tr_loss, "val_loss": val_loss,
-                       "train_time_s": tr_time, "guard_event": reason}
-                history.append(row)
-                if cfg.checkpoint_dir:
-                    _append_history_csv(cfg.checkpoint_dir, row,
-                                        "guard_events.csv")
-                log(f"Epoch {epoch}/{n_epochs}: GUARD — {reason}; rolled "
-                    f"back to last healthy state, lr -> {scheduler.lr:.2e} "
-                    f"(event {guard.n_events}/{guard.max_events})")
-                continue
+                        _append_history_csv(cfg.checkpoint_dir, row,
+                                            "guard_events.csv")
+                    log(f"Epoch {epoch}/{n_epochs}: GUARD — {reason}; rolled "
+                        f"back to last healthy state, lr -> {scheduler.lr:.2e} "
+                        f"(event {guard.n_events}/{guard.max_events})")
+                    continue
 
-        lr = scheduler.step(val_loss)
-        state["opt_state"] = set_learning_rate(state["opt_state"], lr)
+            lr = scheduler.step(val_loss)
+            state["opt_state"] = set_learning_rate(state["opt_state"], lr)
 
-        row = {"epoch": epoch, "lr": lr, "train_loss": tr_loss,
-               "val_loss": val_loss, "train_time_s": tr_time,
-               **{f"train_{k}": v for k, v in tr.items()},
-               **{f"val_{k}": v for k, v in va.items()}}
-        if cfg.skip_nonfinite_updates is not None:
-            from .optim import nonfinite_step_count
+            row = {"epoch": epoch, "lr": lr, "train_loss": tr_loss,
+                   "val_loss": val_loss, "train_time_s": tr_time,
+                   **{f"train_{k}": v for k, v in tr.items()},
+                   **{f"val_{k}": v for k, v in va.items()}}
+            if cfg.skip_nonfinite_updates is not None:
+                from .optim import nonfinite_step_count
 
-            row["nonfinite_steps"] = nonfinite_step_count(
-                state["opt_state"])
-        history.append(row)
-        if cfg.checkpoint_dir:
-            _append_history_csv(cfg.checkpoint_dir, row)
-        if tb_writer is not None:
-            for k, v in row.items():
-                if k != "epoch":
-                    tb_writer.add_scalar(k, v, epoch)
-            tb_writer.flush()
-        log(f"Epoch {epoch}/{n_epochs}: "
-            f"Train Loss={tr_loss:.4f} MAE={tr['mae']:.4f} "
-            f"RMSE={tr['rmse']:.4f} ME={tr['me']:.4f} | "
-            f"Val Loss={val_loss:.4f} MAE={va['mae']:.4f} "
-            f"RMSE={va['rmse']:.4f} ME={va['me']:.4f} "
-            f"| lr={lr:.2e} ({tr_time:.1f}s)")
-
-        if guard is not None:  # this epoch is healthy — new rollback point
-            snapshot = (jax.device_get(state), scheduler.state_dict())
-
-        if val_loss < best_val:
-            best_val = val_loss
+                row["nonfinite_steps"] = nonfinite_step_count(
+                    state["opt_state"])
+            history.append(row)
             if cfg.checkpoint_dir:
-                meta = {"config": cfg.to_dict(), "val_loss": best_val,
-                        "epoch": epoch,
-                        "norm_stats": dataset.stats.to_dict(),
-                        "scheduler": scheduler.state_dict()}
-                if guard is not None:
-                    meta["guard"] = guard.state_dict()
-                save_checkpoint(cfg.checkpoint_dir, f"{model_name}_best",
-                                state, meta)
-                log("   -> new best; checkpoint saved")
+                _append_history_csv(cfg.checkpoint_dir, row)
+            if tb_writer is not None:
+                for k, v in row.items():
+                    if k != "epoch":
+                        tb_writer.add_scalar(k, v, epoch)
+                tb_writer.flush()
+            log(f"Epoch {epoch}/{n_epochs}: "
+                f"Train Loss={tr_loss:.4f} MAE={tr['mae']:.4f} "
+                f"RMSE={tr['rmse']:.4f} ME={tr['me']:.4f} | "
+                f"Val Loss={val_loss:.4f} MAE={va['mae']:.4f} "
+                f"RMSE={va['rmse']:.4f} ME={va['me']:.4f} "
+                f"| lr={lr:.2e} ({tr_time:.1f}s)")
+
+            if guard is not None:  # this epoch is healthy — new rollback point
+                snapshot = (jax.device_get(state), scheduler.state_dict(),
+                            epoch)
+
+            if val_loss < best_val:
+                best_val = val_loss
+                if cfg.checkpoint_dir:
+                    meta = {"config": cfg.to_dict(), "val_loss": best_val,
+                            "epoch": epoch,
+                            "norm_stats": dataset.stats.to_dict(),
+                            "scheduler": scheduler.state_dict()}
+                    if guard is not None:
+                        meta["guard"] = guard.state_dict()
+                    save_checkpoint(cfg.checkpoint_dir, f"{model_name}_best",
+                                    state, meta)
+                    log("   -> new best; checkpoint saved")
+
+    finally:
+        # one teardown for EVERY exit (normal, guard give-up,
+        # OOM, Ctrl-C): never leak an open SummaryWriter or a
+        # running profiler trace
+        if tb_writer is not None:
+            tb_writer.close()
+        if trace_active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                log(f"[profiler] stop failed: {e}")
 
     if cfg.checkpoint_dir:
         meta = {"config": cfg.to_dict(), "val_loss": best_val,
@@ -338,13 +360,5 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             meta["guard"] = guard.state_dict()
         save_checkpoint(cfg.checkpoint_dir, f"{model_name}_last", state,
                         meta, wait=True)
-    if tb_writer is not None:
-        tb_writer.close()
-    if trace_active:  # run ended before step 20 — finalize the trace
-        try:
-            jax.profiler.stop_trace()
-        except Exception as e:
-            log(f"[profiler] stop failed: {e}")
-
     return {"state": state, "history": history, "best_val_loss": best_val,
             "mesh": mesh, "apply_fn": apply_fn, "dataset": dataset}

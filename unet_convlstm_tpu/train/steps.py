@@ -66,9 +66,15 @@ def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
                                      state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         if guard_nonfinite_stats:
-            finite = jnp.all(jnp.stack([
-                jnp.all(jnp.isfinite(g))
-                for g in jax.tree_util.tree_leaves(grads)]))
+            if hasattr(new_opt, "notfinite_count"):
+                # reuse the wrapper's own decision (resets to 0 on a finite
+                # step) — one scalar compare, and it can never disagree
+                # with what the optimizer actually did
+                finite = new_opt.notfinite_count == 0
+            else:  # tx built without apply_if_finite: decide ourselves
+                finite = jnp.all(jnp.stack([
+                    jnp.all(jnp.isfinite(g))
+                    for g in jax.tree_util.tree_leaves(grads)]))
             new_bn = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(finite, n, o.astype(n.dtype)),
                 new_bn, state["stats"])
