@@ -23,15 +23,27 @@ for method in ("march", "sweep"):
     dt = (time.perf_counter() - t0) / 3
     print(f"t_sun {method:6s} {dt*1e3:9.1f} ms")
 
-# end-to-end render (render_radiance computes t_sun internally via 'auto')
-t0 = time.perf_counter()
-img = np.asarray(render_radiance(scene, (0, 0, 600_000.0), (0, 0, 1500.0),
-                                 resolution=(256, 256), fov_deg=0.25,
-                                 sun_dir=sun, g=0.85))
-print(f"render 256^2 incl t_sun (auto): {time.perf_counter()-t0:6.1f} s "
-      f"(cold, incl compile)")
-t0 = time.perf_counter()
-img = np.asarray(render_radiance(scene, (0, 0, 600_000.0), (0, 0, 1500.0),
-                                 resolution=(256, 256), fov_deg=0.25,
-                                 sun_dir=sun, g=0.85))
-print(f"render 256^2 incl t_sun (auto): {time.perf_counter()-t0:6.2f} s (warm)")
+# end-to-end render (t_sun computed internally via 'auto'); camera path:
+# per-sample march vs the O(V) ortho shear-warp composite ('auto' picks
+# ortho at this satellite geometry — parallax 0.31 voxel < 1)
+kw = dict(resolution=(256, 256), fov_deg=0.25, sun_dir=sun, g=0.85)
+ref = None
+for camera in ("march", "ortho"):
+    t0 = time.perf_counter()
+    img = np.asarray(render_radiance(scene, (0, 0, 600_000.0),
+                                     (0, 0, 1500.0), **kw,
+                                     camera_method=camera))
+    print(f"render 256^2 incl t_sun ({camera:5s}): "
+          f"{time.perf_counter()-t0:6.1f} s (cold, incl compile)")
+    t0 = time.perf_counter()
+    img = np.asarray(render_radiance(scene, (0, 0, 600_000.0),
+                                     (0, 0, 1500.0), **kw,
+                                     camera_method=camera))
+    print(f"render 256^2 incl t_sun ({camera:5s}): "
+          f"{time.perf_counter()-t0:6.3f} s (warm)")
+    if ref is None:
+        ref = img
+    else:
+        d = np.abs(img - ref)
+        print(f"  ortho vs march: maxrel {d.max()/ref.max():.4f} "
+              f"meanrel {d.mean()/ref.max():.5f}")

@@ -362,6 +362,121 @@ def test_transmittance_method_contract():
         sun_transmittance(scene, (0.0, 0.0, -1.0), method="swep")
 
 
+# --- near-parallel (ortho shear-warp) camera path -----------------------
+
+def _blob_scene(f: int = 1) -> VolumeScene:
+    """Smooth cloud-like blob (hard edges would measure the two paths'
+    different boundary treatment, not their geometry — same reasoning as
+    test_sweep_matches_march)."""
+    z, y, x = np.meshgrid(np.arange(40 * f), np.arange(24 * f),
+                          np.arange(24 * f), indexing="ij")
+    blob = np.exp(-(((z - 22 * f) / (10.0 * f)) ** 2
+                    + ((y - 12 * f) / (7.0 * f)) ** 2
+                    + ((x - 10 * f) / (7.0 * f)) ** 2))
+    return VolumeScene(jnp.asarray((0.01 / f * blob).astype(np.float32)),
+                       20.0 / f)
+
+
+_SAT_D = 573000.0           # production satellite distance (overpass CSV)
+_SAT_FOV = 2 * np.degrees(np.arctan(349.0 / _SAT_D))
+
+
+def test_ortho_matches_march():
+    """The O(V) shear-warp camera composite agrees with the per-sample ray
+    march at the production satellite geometry (~573 km, fov ~0.07 deg ->
+    worst-case parallax ~0.01 voxel), across nadir / oblique / below-volume
+    (flip) views and the ms / ocean source channels. The residual gap is the
+    two quadratures' voxel-sampling difference (nearest-voxel march vs
+    bilinear shear), first-order in voxel size — verified by the halving
+    check at 2x volume resolution."""
+    scene = _blob_scene()
+    cases = {
+        "nadir": (dict(origin=(0, 0, _SAT_D), target=(0, 0, 0),
+                       sun_dir=(0.2, 0.1, -0.97)), 0.13, 0.015),
+        "oblique": (dict(origin=(-598100.0, 124000.0, 573400.0),
+                         target=(0, 0, 400.0), sun_dir=(0.2, 0.1, -0.97)),
+                    0.05, 0.002),
+        "below": (dict(origin=(0, 0, -_SAT_D), target=(0, 0, 400.0),
+                       sun_dir=(0.2, 0.1, -0.97)), 0.14, 0.02),
+        "ms": (dict(origin=(0, 0, _SAT_D), target=(0, 0, 0),
+                    sun_dir=(0.2, 0.1, -0.97), ms_orders=3), 0.16, 0.02),
+        "ocean": (dict(origin=(0, 0, _SAT_D), target=(0, 0, 0),
+                       sun_dir=(0.1, 0.0, -0.99), ocean_albedo=0.3),
+                  0.10, 0.01),
+    }
+    for name, (kw, tol_max, tol_mean) in cases.items():
+        fov = kw.pop("fov_deg", _SAT_FOV * (2.2 if name == "oblique" else 1))
+        m = np.asarray(render_radiance(scene, **kw, fov_deg=fov,
+                                       resolution=(32, 32),
+                                       camera_method="march"))
+        o = np.asarray(render_radiance(scene, **kw, fov_deg=fov,
+                                       resolution=(32, 32),
+                                       camera_method="ortho"))
+        d = np.abs(o - m)
+        s = m.max()
+        assert d.max() / s < tol_max, (name, d.max() / s)
+        assert d.mean() / s < tol_mean, (name, d.mean() / s)
+        assert np.corrcoef(o.ravel(), m.ravel())[0, 1] > 0.995, name
+
+    # the residual is voxel quadrature, not geometry: it halves at 2x res
+    kw = dict(origin=(0, 0, _SAT_D), target=(0, 0, 0), fov_deg=_SAT_FOV,
+              resolution=(32, 32), sun_dir=(0.2, 0.1, -0.97))
+    means = []
+    for f in (1, 2):
+        sc = _blob_scene(f)
+        m = np.asarray(render_radiance(sc, **kw, camera_method="march"))
+        o = np.asarray(render_radiance(sc, **kw, camera_method="ortho"))
+        means.append(np.abs(o - m).mean() / m.max())
+    assert means[0] / means[1] > 1.5, means
+
+
+def test_ortho_camera_method_contract():
+    """'auto' dispatch is exact (picks one path, never blends); explicit
+    step forces the march; ineligible geometry fails loudly under 'ortho'
+    and falls back under 'auto'."""
+    scene = _blob_scene()
+    kw = dict(origin=(0, 0, _SAT_D), target=(0, 0, 0), fov_deg=_SAT_FOV,
+              resolution=(16, 16), sun_dir=(0.2, 0.1, -0.97))
+
+    # eligible geometry: auto == ortho bit-exactly
+    np.testing.assert_array_equal(
+        np.asarray(render_radiance(scene, **kw)),
+        np.asarray(render_radiance(scene, **kw, camera_method="ortho")))
+
+    # explicit step is a quadrature request: auto == march bit-exactly,
+    # and 'ortho' refuses
+    np.testing.assert_array_equal(
+        np.asarray(render_radiance(scene, **kw, step=10.0)),
+        np.asarray(render_radiance(scene, **kw, step=10.0,
+                                   camera_method="march")))
+    with pytest.raises(ValueError, match="explicit step"):
+        render_radiance(scene, **kw, step=10.0, camera_method="ortho")
+
+    # grazing camera: 'ortho' refuses, 'auto' falls back to the march
+    graze = dict(origin=(_SAT_D, 0.0, 30000.0), target=(0, 0, 400.0),
+                 fov_deg=_SAT_FOV, resolution=(16, 16),
+                 sun_dir=(0.2, 0.1, -0.97))
+    with pytest.raises(ValueError, match="grazing"):
+        render_radiance(scene, **graze, camera_method="ortho")
+    np.testing.assert_array_equal(
+        np.asarray(render_radiance(scene, **graze)),
+        np.asarray(render_radiance(scene, **graze, camera_method="march")))
+
+    # camera inside the volume's z range
+    with pytest.raises(ValueError, match="inside"):
+        render_radiance(scene, (0.0, 0.0, 700.0), (0, 0, 0),
+                        fov_deg=_SAT_FOV, resolution=(16, 16),
+                        camera_method="ortho")
+
+    # fov too wide for the parallel-ray approximation
+    with pytest.raises(ValueError, match="near-parallel"):
+        render_radiance(scene, (0, 0, 20000.0), (0, 0, 0), fov_deg=8.0,
+                        resolution=(16, 16), camera_method="ortho")
+
+    with pytest.raises(ValueError, match="unknown camera_method"):
+        render_radiance(scene, **kw, camera_method="orthographic")
+
+
 def test_sequences_map_type_validation(tmp_path):
     from unet_convlstm_tpu.datagen.sequences import build_trajectory_sequences
 

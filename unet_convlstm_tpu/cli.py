@@ -172,21 +172,41 @@ def cmd_gen_patches(args):
 def cmd_gen_renders(args):
     from .datagen.render_batch import render_dataset
 
+    batch, mesh = _datagen_mesh(args)
     n = render_dataset(args.input, args.output, args.csv,
                        resolution=(args.res, args.res), fov_deg=args.fov,
-                       g=args.g, start=args.start, end=args.end)
+                       g=args.g, start=args.start, end=args.end,
+                       batch_size=batch, mesh=mesh)
     print(f"wrote {n} render pkls")
+
+
+def _datagen_mesh(args):
+    """Resolve the shared --batch/--data-parallel flags of the datagen
+    drivers into (batch_size, mesh)."""
+    mesh, batch = None, args.batch
+    if args.data_parallel:
+        import jax
+        from jax.sharding import Mesh
+        import numpy as np
+
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), ("data",))
+        if batch == 1:
+            batch = len(devs)  # one patch per device per dispatch
+    return batch, mesh
 
 
 def cmd_gen_maps(args):
     from .datagen.velocity_maps import build_velocity_maps
 
+    batch, mesh = _datagen_mesh(args)
     n = build_velocity_maps(args.input, args.output, args.csv,
                             mode=args.mode,
                             resolution=(args.res, args.res),
                             slice_height_m=args.slice_height,
                             use_fixed_camera=not args.csv_cameras,
-                            start=args.start, end=args.end)
+                            start=args.start, end=args.end,
+                            batch_size=batch, mesh=mesh)
     print(f"wrote {n} map pkls")
 
 
@@ -406,6 +426,11 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--g", type=float, default=0.85)
     gr.add_argument("--start", type=int, default=None)
     gr.add_argument("--end", type=int, default=None)
+    gr.add_argument("--batch", type=int, default=1,
+                    help="patches per dispatch (one vmapped SPMD program)")
+    gr.add_argument("--data-parallel", action="store_true",
+                    help="shard the patch batch over all devices "
+                         "(jax.sharding mesh; implies --batch n_devices)")
     gr.set_defaults(fn=cmd_gen_renders)
 
     gm = sub.add_parser("gen-maps", help="stage C: patches -> velocity maps")
@@ -420,6 +445,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="use CSV camera positions instead of fixed nadir")
     gm.add_argument("--start", type=int, default=None)
     gm.add_argument("--end", type=int, default=None)
+    gm.add_argument("--batch", type=int, default=1,
+                    help="patches per dispatch (one vmapped SPMD program)")
+    gm.add_argument("--data-parallel", action="store_true",
+                    help="shard the patch batch over all devices "
+                         "(jax.sharding mesh; implies --batch n_devices)")
     gm.set_defaults(fn=cmd_gen_maps)
 
     gs = sub.add_parser("gen-sequences",

@@ -23,6 +23,7 @@ from __future__ import annotations
 import ast
 import csv
 import dataclasses
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -85,6 +86,23 @@ def camera_schedule(views: List[OverpassView]
     for v in views:
         schedule.setdefault(v.utc_time, []).append(v)
     return sorted(schedule), schedule
+
+
+def enumerate_patch_folders(input_root: str, start=None, end=None
+                            ) -> List[Tuple[int, str]]:
+    """Numerically-named patch folders under ``input_root`` with optional
+    [start, end] numeric bounds, as (position, folder) pairs. The position
+    is the folder's index in the FULL sorted list — NOT the filtered one —
+    so the cyclic CSV-time assignment of a bounded/resumed run renders
+    with the same geometry as a full run (reference render_all.py:80-90
+    keeps original_start_idx for the same reason). Single source for the
+    serial and batched stage-B/C drivers."""
+    all_folders = sorted(f for f in os.listdir(input_root)
+                         if os.path.isdir(os.path.join(input_root, f))
+                         and f.isdigit())
+    return [(i, f) for i, f in enumerate(all_folders)
+            if (start is None or int(f) >= start)
+            and (end is None or int(f) <= end)]
 
 
 def synthesize_overpass_csv(path: str, n_times: int = 12,

@@ -21,7 +21,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .overpass import camera_schedule, read_overpass_csv, sun_direction
+from .overpass import (camera_schedule, enumerate_patch_folders,
+                       read_overpass_csv, sun_direction)
 from .renderer import (SUN_IRRADIANCE, VolumeScene,
                        multiple_scatter_fluence, render_radiance,
                        sun_transmittance)
@@ -39,6 +40,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                    target_z_scale: float = 2.5,
                    start: Optional[int] = None, end: Optional[int] = None,
                    ms_orders: int = 1,
+                   batch_size: int = 1, mesh=None,
                    verbose: bool = True) -> int:
     """Render every patch in every numeric folder; returns pkls written.
 
@@ -47,18 +49,21 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
     ``ms_orders`` > 1 adds successive-order multiple scattering (the
     per-patch fluence volume is shared across that patch's views, like the
     sun transmittance).
+
+    ``batch_size`` > 1 renders that many of a folder's patches per
+    dispatch as one vmapped SPMD program (they share cameras + sun by the
+    cyclic time assignment); pass ``mesh`` (jax.sharding.Mesh) to shard
+    the patch axis across devices (render_shard.py). The reference's
+    analog is a serial per-patch GPU loop (render_all.py:146-199).
     """
+    if batch_size > 1:
+        return _render_dataset_batched(
+            input_root, output_root, csv_path, resolution, fov_deg, g,
+            voxel_size, z_offset, target_z_scale, start, end, ms_orders,
+            batch_size, mesh, verbose)
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
-    all_folders = sorted(f for f in os.listdir(input_root)
-                         if os.path.isdir(os.path.join(input_root, f))
-                         and f.isdigit())
-    # the cyclic time assignment is indexed by the folder's position in the
-    # FULL list, so bounded/resumed runs render with the same geometry as a
-    # full run (reference render_all.py:80-90 keeps original_start_idx)
-    folders = [(i, f) for i, f in enumerate(all_folders)
-               if (start is None or int(f) >= start)
-               and (end is None or int(f) <= end)]
+    folders = enumerate_patch_folders(input_root, start, end)
     log(f"[render] {len(folders)} folders × views; res={resolution}")
 
     written = 0
@@ -108,6 +113,100 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                         written += 1
                 except Exception as e:  # per-sample isolation (:194-195)
                     log(f"[render] failed {pkl_file}: {e}")
+    finally:
+        pool.shutdown(wait=False)
+    log(f"[render] wrote {written} pkls")
+    return written
+
+
+def _load_chunk(paths):
+    """Per-sample failure isolation inside a chunk: a corrupt pkl drops
+    that sample, not the chunk (reference render_all.py:194-195)."""
+    out = []
+    for p in paths:
+        try:
+            out.append((os.path.basename(p),
+                        np.asarray(_load_patch(p)["beta_ext"], np.float32)))
+        except Exception as e:
+            out.append((os.path.basename(p), e))
+    return out
+
+
+def _render_dataset_batched(input_root, output_root, csv_path, resolution,
+                            fov_deg, g, voxel_size, z_offset,
+                            target_z_scale, start, end, ms_orders,
+                            batch_size, mesh, verbose) -> int:
+    """Chunked/sharded body of render_dataset (batch_size > 1)."""
+    from .render_shard import render_views_batch
+
+    log = print if verbose else (lambda *a, **k: None)
+    times, schedule = camera_schedule(read_overpass_csv(csv_path))
+    folders = enumerate_patch_folders(input_root, start, end)
+    ndev = 1 if mesh is None else mesh.devices.size
+    log(f"[render] {len(folders)} folders × views; res={resolution}; "
+        f"batch={batch_size} over {ndev} device(s)")
+
+    written = 0
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        # flat chunk list so the IO prefetch spans folder boundaries
+        chunks = []
+        for folder_idx, folder in folders:
+            in_dir = os.path.join(input_root, folder)
+            pkls = sorted(f for f in os.listdir(in_dir)
+                          if f.endswith(".pkl"))
+            for c in range(0, len(pkls), batch_size):
+                chunks.append((folder_idx, folder,
+                               [os.path.join(in_dir, p)
+                                for p in pkls[c:c + batch_size]]))
+        future = (pool.submit(_load_chunk, chunks[0][2]) if chunks
+                  else None)
+        for n, (folder_idx, folder, paths) in enumerate(chunks):
+            loaded = future.result()
+            if n + 1 < len(chunks):
+                future = pool.submit(_load_chunk, chunks[n + 1][2])
+            good = [(name, b) for name, b in loaded
+                    if not isinstance(b, Exception)]
+            for name, err in loaded:
+                if isinstance(err, Exception):
+                    log(f"[render] failed {name}: {err}")
+            if not good:
+                continue
+            t = times[folder_idx % len(times)]
+            views = schedule[t]
+            sun = sun_direction(views[0].sun_zenith, views[0].sun_azimuth)
+            try:
+                beta_b = np.stack([b for _, b in good])
+            except Exception as e:  # e.g. mixed patch shapes in one chunk
+                log(f"[render] chunk failed in {folder}: {e}")
+                continue
+            nz = beta_b.shape[1]
+            z_center = z_offset + nz * voxel_size / 2.0
+            target = np.array([0.0, 0.0, z_center * target_z_scale])
+            cams = []
+            for view in views:
+                origin_km, _, up = view.renderer_camera_km(0.0)
+                cams.append((origin_km * 1000.0, target, up))
+            try:
+                imgs = render_views_batch(
+                    beta_b, cams, sun, voxel_size=voxel_size,
+                    z_offset=z_offset, fov_deg=fov_deg,
+                    resolution=resolution, g=g, ms_orders=ms_orders,
+                    mesh=mesh)
+            except Exception as e:
+                log(f"[render] chunk failed in {folder}: {e}")
+                continue
+            out_dir = os.path.join(output_root, folder)
+            os.makedirs(out_dir, exist_ok=True)
+            for bi, (name, _) in enumerate(good):
+                base = os.path.splitext(name)[0]
+                for sat in range(len(views)):
+                    out = f"{base}_time_{int(t)}_view_{sat}.pkl"
+                    with open(os.path.join(out_dir, out), "wb") as f:
+                        pickle.dump({"render": imgs[bi, sat],
+                                     "timestamp": int(t),
+                                     "satellite_idx": sat}, f)
+                    written += 1
     finally:
         pool.shutdown(wait=False)
     log(f"[render] wrote {written} pkls")

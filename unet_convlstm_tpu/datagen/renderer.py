@@ -197,6 +197,34 @@ def _sun_transmittance_shear_impl(beta, sx, sy, delta, pad):
     return jnp.exp(-tau)
 
 
+def _sweep_eligible(toward) -> bool:
+    """Can the O(V) shear-warp sweep stand in for the transmittance march
+    at this sun angle? Single source of the grazing cutoff (sun > ~27 deg
+    above the horizon — below it the shear padding outgrows the plane),
+    shared by sun_transmittance's 'auto' dispatch and the batched SPMD
+    path (render_shard.py)."""
+    return abs(float(toward[2])) >= 0.45
+
+
+def _sweep_static_params(nz: int, voxel_size: float, toward):
+    """Host-side static geometry for the shear-warp transmittance sweep:
+    flip (sun below the horizon plane → sweep from the bottom layer),
+    (sx, sy) shear per layer in voxels, delta path length per layer, and
+    the padded-frame size (bucketed to 8 to bound recompiles). Raises for
+    horizontal sun. Shared with the batched path (render_shard.py)."""
+    tz = float(toward[2])
+    if abs(tz) < 1e-3:
+        raise ValueError(
+            "method='sweep' cannot integrate a horizontal sun "
+            "(|z-component| < 1e-3); use method='march'")
+    sx = float(toward[0] / abs(tz))
+    sy = float(toward[1] / abs(tz))
+    delta = voxel_size / abs(tz)
+    shear = max(abs(sx), abs(sy)) * nz
+    pad = int(-(-(shear + 1) // 8) * 8)
+    return bool(tz < 0), sx, sy, delta, pad
+
+
 def sun_transmittance(scene: VolumeScene, sun_dir,
                       step: Optional[float] = None,
                       method: str = "auto") -> jax.Array:
@@ -221,7 +249,7 @@ def sun_transmittance(scene: VolumeScene, sun_dir,
     sun = sun / np.linalg.norm(sun)
     toward = -sun
     if method == "auto":
-        method = ("sweep" if abs(float(toward[2])) >= 0.45 and step is None
+        method = ("sweep" if _sweep_eligible(toward) and step is None
                   else "march")
     if method == "sweep":
         if step is not None:
@@ -229,20 +257,9 @@ def sun_transmittance(scene: VolumeScene, sun_dir,
                 "method='sweep' integrates at fixed one-layer spacing and "
                 "cannot honor an explicit step; omit step or use "
                 "method='march'")
-        tz = float(toward[2])
-        if abs(tz) < 1e-3:
-            raise ValueError(
-                "method='sweep' cannot integrate a horizontal sun "
-                "(|z-component| < 1e-3); use method='march'")
-        flip = tz < 0  # sun below: sweep from the bottom layer instead
+        flip, sx, sy, delta, pad = _sweep_static_params(
+            scene.beta.shape[0], scene.voxel_size, toward)
         beta = scene.beta[::-1] if flip else scene.beta
-        # shear per layer, in voxels; delta = path length per layer
-        sx = float(toward[0] / abs(tz))
-        sy = float(toward[1] / abs(tz))
-        delta = scene.voxel_size / abs(tz)
-        nz = beta.shape[0]
-        shear = max(abs(sx), abs(sy)) * nz
-        pad = int(-(-(shear + 1) // 8) * 8)  # bucket to 8: few recompiles
         t = _sun_transmittance_shear_impl(
             beta, jnp.float32(sx), jnp.float32(sy), jnp.float32(delta),
             pad)
@@ -348,6 +365,130 @@ def fov_from_geometry(sat_zeniths_deg, sat_altitudes_km, cloud_width_m,
         np.arctan((W_km / 2) / (h[i_nad] - cloud_top_km))))
 
 
+@partial(jax.jit, static_argnames=("resolution", "fov", "use_ms",
+                                   "m_y", "m_x", "e_y", "e_x", "flip"))
+def _render_ortho_impl(beta, t_sun, voxel_size, min_bound, max_bound,
+                       origin, target, up, sun_dir, fov, resolution,
+                       g, albedo, irradiance, ocean_albedo, e_ms, use_ms,
+                       sx, sy, delta, m_y, m_x, e_y, e_x, flip):
+    """Near-parallel (orthographic shear-warp) camera render.
+
+    From the reference's satellite distance (~573 km for a ~2.5 km box,
+    render.py:104 / the overpass CSV) every film ray is parallel to the
+    central ray to within tan(fov/2)·√2 ≈ 0.003 rad, so the whole march
+    collapses to the same O(V) shear-warp transform the sun-transmittance
+    sweep uses: shear each payload layer once so camera rays are vertical
+    columns, composite with one exclusive cumsum along z (the marcher's own
+    quadrature: attenuation exp(-τ_before)·src·Δ per layer), then resample
+    the composited planes onto the film with ONE bilinear warp — per-pixel
+    exact ray directions are kept for the HG phase (constant along each
+    ray, so it factors out of the z-sum) and for the ocean/ground term.
+
+    The composite grid is windowed: column (y', x') is the ray crossing
+    the volume's central z-plane at grid coords (y'-m_y, x'-m_x); margins
+    m cover every ray that intersects the box anywhere (±shear/2), so the
+    planes stay [ny+2m_y, nx+2m_x] instead of the full sheared frame.
+    ``sx, sy`` are voxels of lateral shift per layer along the central ray
+    (d_x/|d_z|, d_y/|d_z|), ``delta`` the path length per layer,
+    ``flip`` True when the camera is ABOVE the volume (descending central
+    ray, d_z < 0): the payload is z-reversed so composited layer 0 is the
+    one nearest the camera either way.
+    """
+    nz, ny, nx = beta.shape
+    H, W = resolution
+    k_ref = (nz - 1) / 2.0
+
+    A = albedo * irradiance * t_sun
+    chans = [beta, beta * A]
+    if use_ms:
+        chans.append(beta * (albedo / (4.0 * jnp.pi)) * e_ms)
+    P = jnp.stack(chans, axis=-1)                    # [nz, ny, nx, C]
+    if flip:
+        P = P[::-1]
+    C = P.shape[-1]
+    W_y, W_x = ny + 2 * m_y, nx + 2 * m_x
+
+    E = jnp.pad(P, ((0, 0), (e_y, e_y), (e_x, e_x), (0, 0)))
+
+    def shear_layer(k, plane):
+        # window cell (y', x') at layer k reads world grid
+        # (y' - m_y + sy·(k - k_ref), x' - m_x + sx·(k - k_ref))
+        oy = e_y - m_y + sy * (k - k_ref)
+        ox = e_x - m_x + sx * (k - k_ref)
+        iy = jnp.floor(oy)
+        ix = jnp.floor(ox)
+        fy, fx = oy - iy, ox - ix
+        iy = iy.astype(jnp.int32)
+        ix = ix.astype(jnp.int32)
+        s00 = jax.lax.dynamic_slice(plane, (iy, ix, 0), (W_y, W_x, C))
+        s01 = jax.lax.dynamic_slice(plane, (iy, ix + 1, 0), (W_y, W_x, C))
+        s10 = jax.lax.dynamic_slice(plane, (iy + 1, ix, 0), (W_y, W_x, C))
+        s11 = jax.lax.dynamic_slice(plane, (iy + 1, ix + 1, 0),
+                                    (W_y, W_x, C))
+        return ((1 - fy) * ((1 - fx) * s00 + fx * s01)
+                + fy * ((1 - fx) * s10 + fx * s11))
+
+    ki = jnp.arange(nz, dtype=jnp.float32)
+    sb = jax.vmap(shear_layer)(ki, E)                # [nz, W_y, W_x, C]
+    b = sb[..., 0]
+    tau_incl = delta * jnp.cumsum(b, axis=0)
+    wgt = jnp.exp(-(tau_incl - delta * b)) * delta   # exp(-τ_excl)·Δ
+    comp = jnp.sum(wgt[..., None] * sb[..., 1:], axis=0)  # [W_y, W_x, C-1]
+    planes = jnp.concatenate([comp, tau_incl[-1][..., None]], axis=-1)
+
+    # --- film warp: one bilinear sample per pixel (zero outside) --------
+    rays_o, rays_d = make_camera_rays(origin, target, up, fov, resolution)
+    ro = rays_o.reshape(-1, 3)
+    rd = rays_d.reshape(-1, 3)
+    z_c = min_bound[2] + (k_ref + 0.5) * voxel_size  # volume z-center
+    dz_safe = jnp.where(jnp.abs(rd[:, 2]) < 1e-9, 1e-9, rd[:, 2])
+    t_ref = (z_c - ro[:, 2]) / dz_safe
+    q = ro + rd * t_ref[:, None]
+    Yc = (q[:, 1] - min_bound[1]) / voxel_size - 0.5 + m_y
+    Xc = (q[:, 0] - min_bound[0]) / voxel_size - 0.5 + m_x
+
+    iy = jnp.floor(Yc)
+    ix = jnp.floor(Xc)
+    fy, fx = Yc - iy, Xc - ix
+    iy = iy.astype(jnp.int32)
+    ix = ix.astype(jnp.int32)
+    pl = jnp.pad(planes, ((0, 1), (0, 1), (0, 0)))
+
+    def tap(dy, dx, w):
+        yy, xx = iy + dy, ix + dx
+        ok = (yy >= 0) & (yy < W_y) & (xx >= 0) & (xx < W_x)
+        yy = jnp.clip(yy, 0, W_y)
+        xx = jnp.clip(xx, 0, W_x)
+        return jnp.where(ok[:, None], pl[yy, xx], 0.0) * w[:, None]
+
+    samp = (tap(0, 0, (1 - fy) * (1 - fx)) + tap(0, 1, (1 - fy) * fx)
+            + tap(1, 0, fy * (1 - fx)) + tap(1, 1, fy * fx))
+
+    cos_theta = jnp.sum(sun_dir * (-rd), axis=-1)
+    L = samp[:, 0] * hg_phase(cos_theta, g)          # exact per-ray phase
+    if use_ms:
+        L = L + samp[:, 1]
+    tau = samp[:, -1]
+
+    # Lambertian ocean/ground — identical formula to the march
+    # (per-pixel exact intersection; τ along the parallel proxy)
+    dzr = rd[:, 2]
+    hits_down = dzr < -1e-6
+    t_ground = (min_bound[2] - ro[:, 2]) / jnp.where(hits_down, dzr, -1.0)
+    gp = ro + rd * t_ground[:, None]
+    in_xy = ((gp[:, 0] >= min_bound[0]) & (gp[:, 0] <= max_bound[0])
+             & (gp[:, 1] >= min_bound[1]) & (gp[:, 1] <= max_bound[1]))
+    gi = ((gp - min_bound) / voxel_size).astype(jnp.int32)
+    gxg = jnp.clip(gi[:, 0], 0, nx - 1)
+    gyg = jnp.clip(gi[:, 1], 0, ny - 1)
+    t_sun_ground = t_sun[0, gyg, gxg]
+    cos_sun = jnp.maximum(-sun_dir[2], 0.0)
+    L_ground = (ocean_albedo / jnp.pi) * irradiance * cos_sun \
+        * t_sun_ground * jnp.exp(-tau)
+    L = L + jnp.where(hits_down & in_xy, L_ground, 0.0)
+    return L.reshape(H, W)
+
+
 @partial(jax.jit, static_argnames=("resolution", "n_steps", "fov",
                                    "use_ms"))
 def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
@@ -427,6 +568,62 @@ def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
     return L.reshape(H, W)
 
 
+def _ortho_static_params(nz: int, voxel_size: float, origin, target):
+    """Host-side static geometry for the shear-warp camera composite:
+    (sx, sy) voxels of lateral shift per layer along the central ray,
+    delta path length per layer, windowed-plane margins m_* / embed pads
+    e_* (bucketed to multiples of 8 to bound recompiles), and flip (True
+    when the camera is ABOVE the volume, so the z-reversed layer 0 is
+    nearest the camera). Shared by the single-view dispatch
+    (``render_radiance``) and the batched SPMD path (render_shard.py),
+    whose patches share one camera."""
+    d = np.asarray(target, np.float64) - np.asarray(origin, np.float64)
+    d = d / np.linalg.norm(d)
+    adz = abs(float(d[2]))
+    sx = float(d[0] / adz)
+    sy = float(d[1] / adz)
+    delta = voxel_size / adz
+
+    def bucket8(v: float) -> int:
+        return int(-(-(v) // 8) * 8)
+
+    m_y = bucket8(abs(sy) * nz / 2 + 2)
+    m_x = bucket8(abs(sx) * nz / 2 + 2)
+    e_y = bucket8(m_y + abs(sy) * nz / 2 + 2)
+    e_x = bucket8(m_x + abs(sx) * nz / 2 + 2)
+    return sx, sy, delta, m_y, m_x, e_y, e_x, bool(d[2] < 0)
+
+
+def _ortho_eligibility(scene: VolumeScene, origin, target, fov_deg,
+                       resolution, user_step) -> Tuple[bool, str]:
+    """Can the shear-warp camera path stand in for the march here?
+    Returns (eligible, reason-if-not)."""
+    if user_step is not None:
+        return False, ("explicit step is a quadrature request the ortho "
+                       "path cannot honor (fixed one sample per layer)")
+    d = np.asarray(target, np.float64) - np.asarray(origin, np.float64)
+    d = d / np.linalg.norm(d)
+    adz = abs(float(d[2]))
+    if adz < 0.45:
+        return False, (f"grazing camera (|dir_z|={adz:.3f} < 0.45): shear "
+                       "padding outgrows the plane")
+    oz = float(np.asarray(origin, np.float64)[2])
+    if scene.min_bound[2] < oz < scene.max_bound[2]:
+        return False, "camera origin inside the volume's z range"
+    H, W = resolution
+    nz = scene.beta.shape[0]
+    tan_half = math.tan(math.radians(fov_deg * 0.5))
+    # max angle between any film ray and the central ray (fov along x,
+    # aspect-scaled — make_camera_rays), times the max path offset from
+    # the anchoring central plane, in voxels:
+    err_vox = tan_half * math.sqrt(1.0 + (W / H) ** 2) * nz / (2.0 * adz)
+    if err_vox > 1.0:
+        return False, (f"rays not near-parallel: worst-case parallax "
+                       f"{err_vox:.2f} voxels > 1 (fov {fov_deg} deg too "
+                       "wide for this depth/distance)")
+    return True, ""
+
+
 def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                     fov_deg: float = 0.25, resolution=(256, 256),
                     sun_dir=(0.0, 0.0, -1.0), g: float = 0.85,
@@ -435,7 +632,8 @@ def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                     t_sun: Optional[jax.Array] = None,
                     ocean_albedo: float = 0.0,
                     ms_orders: int = 1,
-                    e_ms: Optional[jax.Array] = None) -> jax.Array:
+                    e_ms: Optional[jax.Array] = None,
+                    camera_method: str = "auto") -> jax.Array:
     """Render one grayscale radiance view [H, W]. Pass a precomputed
     ``t_sun`` (sun_transmittance) to amortize it across views that share a
     timestamp. ``ocean_albedo`` > 0 adds the legacy renderer's Lambertian
@@ -447,7 +645,20 @@ def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     ``multiple_scatter_fluence`` — an isotropic-phase successive-order
     approximation of the reference's full volpath multiple scattering
     (mitsuba3/render.py:215-218). Pass a precomputed ``e_ms`` to amortize
-    it across views sharing a timestamp (like ``t_sun``)."""
+    it across views sharing a timestamp (like ``t_sun``).
+
+    ``camera_method``: 'ortho' composites with the O(V) shear-warp
+    transform (near-parallel rays — the production satellite geometry:
+    ~573 km away, fov ~0.3 deg), 'march' is the per-sample ray march,
+    'auto' (default) picks ortho whenever the worst-case parallax error
+    of the parallel-ray approximation is under one voxel, the camera is
+    not grazing/inside the volume, and no explicit ``step`` was requested
+    (see ``_ortho_eligibility``); the two agree to the same quadrature
+    class as sweep-vs-march sun transmittance
+    (tests/test_renderer_alignment.py::test_ortho_matches_march)."""
+    if camera_method not in ("auto", "ortho", "march"):
+        raise ValueError(f"unknown camera_method {camera_method!r}: "
+                         "expected 'auto', 'ortho' or 'march'")
     # keep the caller's step intent: None means "defaults everywhere",
     # which lets sun_transmittance pick the fast shear-warp; an explicit
     # step is a quadrature request and forces the march there too
@@ -463,13 +674,30 @@ def render_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
         e_ms = multiple_scatter_fluence(scene.beta, t_sun, float(step),
                                         float(albedo), float(irradiance),
                                         int(ms_orders))
+    eligible, why = _ortho_eligibility(scene, origin, target, fov_deg,
+                                       tuple(resolution), user_step)
+    if camera_method == "ortho" and not eligible:
+        raise ValueError(f"camera_method='ortho' not applicable: {why}")
+    if camera_method == "auto":
+        camera_method = "ortho" if eligible else "march"
+
+    common = (scene.beta, t_sun, scene.voxel_size,
+              jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),
+              jnp.asarray(origin, jnp.float32),
+              jnp.asarray(target, jnp.float32),
+              jnp.asarray(up, jnp.float32), sun_dir, float(fov_deg),
+              tuple(resolution))
+    if camera_method == "ortho":
+        sx, sy, delta, m_y, m_x, e_y, e_x, flip = _ortho_static_params(
+            scene.beta.shape[0], scene.voxel_size, origin, target)
+        return _render_ortho_impl(
+            *common, float(g), float(albedo), float(irradiance),
+            float(ocean_albedo), e_ms if use_ms else scene.beta, use_ms,
+            jnp.float32(sx), jnp.float32(sy), jnp.float32(delta),
+            m_y, m_x, e_y, e_x, flip)
     n_steps = int(scene.diagonal / step) + 2
     return _render_impl(
-        scene.beta, t_sun, scene.voxel_size,
-        jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),
-        jnp.asarray(origin, jnp.float32), jnp.asarray(target, jnp.float32),
-        jnp.asarray(up, jnp.float32), sun_dir, float(fov_deg),
-        tuple(resolution), float(step), n_steps, float(g), float(albedo),
+        *common, float(step), n_steps, float(g), float(albedo),
         float(irradiance), float(ocean_albedo),
         e_ms if use_ms else scene.beta, use_ms)
 

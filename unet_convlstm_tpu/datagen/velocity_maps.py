@@ -24,7 +24,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .overpass import camera_schedule, read_overpass_csv
+from .overpass import (camera_schedule, enumerate_patch_folders,
+                       read_overpass_csv)
 from .raycast import VolumeGrid, first_hit_maps, z_slice_maps
 
 FIXED_NADIR_CAMERA_M = np.array([0.0, 0.0, 600.0 * 1000.0])
@@ -54,19 +55,25 @@ def build_velocity_maps(input_root: str, output_root: str, csv_path: str,
                         fov: float = 0.115,
                         start: Optional[int] = None,
                         end: Optional[int] = None,
+                        batch_size: int = 1, mesh=None,
                         verbose: bool = True) -> int:
     """Process every numeric folder under ``input_root``; returns the number
-    of map pkls written."""
+    of map pkls written.
+
+    ``batch_size`` > 1 ray-casts that many of a folder's patches per
+    dispatch as one vmapped SPMD program (they share cameras by the
+    cyclic time assignment); ``mesh`` (jax.sharding.Mesh) shards the
+    patch axis across devices — same data-parallel design as stage B
+    (render_batch.py). Reference analog: serial per-patch loop
+    (build_WVU_maps.py:96-177)."""
+    if batch_size > 1:
+        return _build_velocity_maps_batched(
+            input_root, output_root, csv_path, mode, resolution,
+            slice_height_m, reference_plane_z, use_fixed_camera, fov,
+            start, end, batch_size, mesh, verbose)
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
-    all_folders = sorted(f for f in os.listdir(input_root)
-                         if os.path.isdir(os.path.join(input_root, f))
-                         and f.isdigit())
-    # time assignment by position in the FULL list so bounded/resumed runs
-    # match full runs (see render_batch.py; reference render_all.py:80-90)
-    folders = [(i, f) for i, f in enumerate(all_folders)
-               if (start is None or int(f) >= start)
-               and (end is None or int(f) <= end)]
+    folders = enumerate_patch_folders(input_root, start, end)
     log(f"[velocity_maps] {len(folders)} folders, {len(times)} CSV times, "
         f"mode={mode}")
 
@@ -100,5 +107,103 @@ def build_velocity_maps(input_root: str, output_root: str, csv_path: str,
                     written += 1
             except Exception as e:  # per-sample isolation (:176-177)
                 log(f"[velocity_maps] failed {pkl_file}: {e}")
+    log(f"[velocity_maps] wrote {written} map pkls")
+    return written
+
+
+def _build_velocity_maps_batched(input_root, output_root, csv_path, mode,
+                                 resolution, slice_height_m,
+                                 reference_plane_z, use_fixed_camera, fov,
+                                 start, end, batch_size, mesh,
+                                 verbose) -> int:
+    """Chunked/sharded body of build_velocity_maps (batch_size > 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .raycast import _first_hit_impl, _z_slice_impl
+    from .render_shard import pad_and_shard
+
+    if mode not in ("slice", "first_hit"):
+        raise ValueError(f"unknown mode {mode!r}")
+    log = print if verbose else (lambda *a, **k: None)
+    times, schedule = camera_schedule(read_overpass_csv(csv_path))
+    folders = enumerate_patch_folders(input_root, start, end)
+    ndev = 1 if mesh is None else mesh.devices.size
+    log(f"[velocity_maps] {len(folders)} folders, mode={mode}, "
+        f"batch={batch_size} over {ndev} device(s)")
+
+    res = tuple(resolution)
+    written = 0
+    for folder_idx, folder in folders:
+        t = times[folder_idx % len(times)]
+        views = schedule[t]
+        in_dir = os.path.join(input_root, folder)
+        out_dir = os.path.join(output_root, folder)
+        os.makedirs(out_dir, exist_ok=True)
+        pkls = sorted(f for f in os.listdir(in_dir) if f.endswith(".pkl"))
+        for c in range(0, len(pkls), batch_size):
+            good = []
+            for pkl_file in pkls[c:c + batch_size]:
+                try:  # per-sample isolation (build_WVU_maps.py:176-177)
+                    with open(os.path.join(in_dir, pkl_file), "rb") as f:
+                        patch = pickle.load(f)
+                    good.append((pkl_file,
+                                 VolumeGrid.from_patch_dict(patch)))
+                except Exception as e:
+                    log(f"[velocity_maps] failed {pkl_file}: {e}")
+            if not good:
+                continue
+            g0 = good[0][1]
+            try:
+                stacks = [jnp.asarray(np.stack([getattr(g, k)
+                                                for _, g in good]))
+                          for k in ("beta", "u", "v", "w")]
+            except Exception as e:  # e.g. mixed patch shapes in one chunk
+                log(f"[velocity_maps] chunk failed in {folder}: {e}")
+                continue
+            stacks, _ = pad_and_shard(stacks, mesh)
+            beta_b, u_b, v_b, w_b = stacks
+            min_b = jnp.asarray(g0.min_bound)
+            max_b = jnp.asarray(g0.max_bound)
+            try:
+                per_view = []
+                for view in views:
+                    cam_pos, look_at = view.caster_camera_m()
+                    if use_fixed_camera:
+                        cam_pos = FIXED_NADIR_CAMERA_M
+                    cam = jnp.asarray(cam_pos, jnp.float32)
+                    tgt = jnp.asarray(look_at, jnp.float32)
+                    if mode == "first_hit":
+                        diag = float(np.linalg.norm(g0.max_bound
+                                                    - g0.min_bound))
+                        max_steps = int(diag / g0.voxel_size) + 2
+                        maps = jax.vmap(
+                            lambda b, u, v, w: _first_hit_impl(
+                                b, u, v, w, g0.voxel_size, min_b, max_b,
+                                cam, tgt, res, float(g0.voxel_size),
+                                float(fov), max_steps))(beta_b, u_b, v_b,
+                                                        w_b)
+                        suffix = "first_hit"
+                    else:  # "slice" (mode validated on entry)
+                        maps = jax.vmap(
+                            lambda u, v, w: _z_slice_impl(
+                                u, v, w, g0.voxel_size, min_b, max_b,
+                                cam, tgt, float(slice_height_m),
+                                float(reference_plane_z), res,
+                                float(fov)))(u_b, v_b, w_b)
+                        suffix = f"slice_{int(slice_height_m)}m"
+                    per_view.append([np.asarray(m) for m in maps])
+            except Exception as e:
+                log(f"[velocity_maps] chunk failed in {folder}: {e}")
+                continue
+            for bi, (pkl_file, _) in enumerate(good):
+                base = os.path.splitext(pkl_file)[0]
+                for view_idx, (u_m, v_m, w_m) in enumerate(per_view):
+                    name = (f"{base}_time_{int(t)}_view_{view_idx}"
+                            f"_{suffix}.pkl")
+                    with open(os.path.join(out_dir, name), "wb") as f:
+                        pickle.dump({"u_map": u_m[bi], "v_map": v_m[bi],
+                                     "w_map": w_m[bi]}, f)
+                    written += 1
     log(f"[velocity_maps] wrote {written} map pkls")
     return written
