@@ -46,7 +46,8 @@ def test_cloud_gate_reduced_geometry(tmp_path):
                          verbose=False)
     assert res["improved"], (
         f"training never improved: {res['first_epoch_val_mae']:.3f} -> "
-        f"{res['final_val_mae']:.3f}")
+        f"{res['best_val_mae']:.3f}")
     assert res["passed"], (
-        f"val MAE {res['final_val_mae']:.3f} above threshold "
+        f"best val MAE {res['best_val_mae']:.3f} above threshold "
         f"{res['mae_threshold']}")
+    assert res["best_val_mae"] <= res["final_val_mae"] + 1e-9

