@@ -1,0 +1,204 @@
+"""Monte-Carlo radiance oracle (datagen/mc_reference.py).
+
+The MC path tracer is the unbiased anchor the deterministic renderer is
+validated against (reference analog: Mitsuba volpath spp 8192,
+render_all.py:28-30). The key test: the deterministic march converges TO
+the MC estimate as its quadrature step shrinks — so the two agree up to
+(a) march quadrature bias, first order in step, and (b) MC noise, 1/√spp.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unet_convlstm_tpu.datagen.renderer import (VolumeScene,
+                                                render_radiance,
+                                                sun_transmittance)
+from unet_convlstm_tpu.datagen.mc_reference import mc_radiance
+
+
+def _blob_scene():
+    z, y, x = np.meshgrid(np.arange(24), np.arange(16), np.arange(16),
+                          indexing="ij")
+    blob = np.exp(-(((z - 12) / 6.0) ** 2 + ((y - 8) / 4.0) ** 2
+                    + ((x - 7) / 4.0) ** 2))
+    return VolumeScene(jnp.asarray((0.02 * blob).astype(np.float32)), 20.0)
+
+
+_KW = dict(origin=(0, 0, 20000.0), target=(0, 0, 240.0), fov_deg=1.2,
+           resolution=(24, 24), sun_dir=(0.2, 0.1, -0.97))
+
+
+def test_mc_empty_volume_is_black():
+    scene = VolumeScene(jnp.zeros((8, 8, 8), jnp.float32), 20.0)
+    img = np.asarray(mc_radiance(scene, (0, 0, 5000.0), (0, 0, 0),
+                                 resolution=(8, 8), fov_deg=4.0, spp=8))
+    np.testing.assert_array_equal(img, 0.0)
+
+
+def test_mc_albedo_zero_is_black():
+    img = np.asarray(mc_radiance(_blob_scene(), **_KW, albedo=0.0,
+                                 spp=16, max_depth=4))
+    np.testing.assert_array_equal(img, 0.0)
+
+
+def test_mc_deterministic_per_seed():
+    scene = _blob_scene()
+    a = np.asarray(mc_radiance(scene, **_KW, spp=8, seed=3))
+    b = np.asarray(mc_radiance(scene, **_KW, spp=8, seed=3))
+    c = np.asarray(mc_radiance(scene, **_KW, spp=8, seed=4))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+
+
+def test_mc_single_scatter_is_march_quadrature_limit():
+    """max_depth=1 estimates the deterministic single-scatter integral:
+    refining the march's step moves it TOWARD the MC mean (the residual
+    at step=voxel is the march's rectangle-rule bias, ~4%), and at
+    step=voxel/10 the two agree within MC noise."""
+    scene = _blob_scene()
+    sun = np.asarray(_KW["sun_dir"], np.float32)
+    sun = sun / np.linalg.norm(sun)
+    t_sun = sun_transmittance(scene, sun)   # shared: isolate camera side
+
+    m20 = np.asarray(render_radiance(scene, **_KW, camera_method="march",
+                                     step=20.0, t_sun=t_sun))
+    m2 = np.asarray(render_radiance(scene, **_KW, camera_method="march",
+                                    step=2.0, t_sun=t_sun))
+    mc = np.asarray(mc_radiance(scene, **_KW, spp=512, max_depth=1,
+                                seed=0, t_sun=t_sun))
+    gap20 = abs(mc.mean() - m20.mean())
+    gap2 = abs(mc.mean() - m2.mean())
+    assert gap2 < gap20                      # refinement converges to MC
+    assert gap2 / m2.mean() < 0.02           # within noise at fine step
+    assert np.corrcoef(mc.ravel(), m2.ravel())[0, 1] > 0.99
+
+
+def test_mc_depth_adds_nonnegative_energy_pixelwise():
+    """Same seed ⇒ identical trajectories ⇒ a deeper run's image is the
+    shallower run's image plus non-negative extra bounces, per pixel."""
+    scene = _blob_scene()
+    d1 = np.asarray(mc_radiance(scene, **_KW, spp=32, max_depth=1, seed=0))
+    d4 = np.asarray(mc_radiance(scene, **_KW, spp=32, max_depth=4, seed=0))
+    d16 = np.asarray(mc_radiance(scene, **_KW, spp=32, max_depth=16,
+                                 seed=0))
+    assert np.all(d4 >= d1 - 1e-7)
+    assert np.all(d16 >= d4 - 1e-7)
+    assert d4.mean() > d1.mean()             # order ≥ 2 light is real
+    # shrinking tail: depth 4→16 adds less than 1→4
+    assert (d16.mean() - d4.mean()) < (d4.mean() - d1.mean())
+
+
+def test_mc_quantifies_sos_angular_bias_at_backscatter():
+    """The deterministic ms_orders path approximates orders ≥ 2 with an
+    ISOTROPIC phase. At backscatter geometry (sun behind the camera) the
+    true HG chain keeps most multiply-scattered light flowing forward
+    (away from the camera), so SOS must OVERESTIMATE the diffuse term
+    there — the MC oracle pins the direction and rough size of that bias
+    (docs/RENDERER.md table)."""
+    scene = _blob_scene()
+    mc_full = np.asarray(mc_radiance(scene, **_KW, spp=128, max_depth=64,
+                                     seed=0))
+    sos4 = np.asarray(render_radiance(scene, **_KW, camera_method="march",
+                                      ms_orders=4))
+    assert sos4.mean() > 2.0 * mc_full.mean()
+
+
+def _patch_fixture(tmp_path):
+    """One blob patch in one numeric folder + a 2-satellite overpass CSV."""
+    import pickle
+
+    in_root = tmp_path / "patches"
+    (in_root / "0000000001").mkdir(parents=True)
+    beta = np.zeros((10, 16, 16), np.float32)
+    beta[4:8, 4:12, 4:12] = 0.05
+    with open(in_root / "0000000001" / "sample_000.pkl", "wb") as f:
+        pickle.dump({"beta_ext": beta}, f)
+    csv_text = (
+        "utc time,sun zenith [deg],sun azimuth [deg],sat zenith [deg],"
+        "sat azimuth [deg],scattering angle [deg],"
+        "sat ENU coordinates [km],lookat ENU coordinates [km]\n"
+        '0,145.0,32.6,53.8,168.3,131.5,"[-747.0, 154.9, 558.6]","[0, 0, 0]"\n'
+        '0,145.0,32.6,46.8,168.3,164.3,"[-598.1, 124.0, 573.4]","[0, 0, 0]"\n')
+    csv_path = tmp_path / "overpass.csv"
+    csv_path.write_text(csv_text)
+    return in_root, csv_path
+
+
+def test_mc_render_dataset_driver(tmp_path):
+    """gen-renders --mc-spp: the stage-B driver's Monte-Carlo production
+    path (reference production is volpath spp 8192, render_all.py:28-30)
+    writes the same pkl contract as the deterministic path, with
+    deterministic per-(folder, patch, view) seeding."""
+    import os
+    import pickle
+
+    from unet_convlstm_tpu.datagen.render_batch import render_dataset
+
+    in_root, csv_path = _patch_fixture(tmp_path)
+
+    kw = dict(resolution=(12, 12), fov_deg=0.01, verbose=False,
+              mc_spp=8, mc_max_depth=8)
+    n = render_dataset(str(in_root), str(tmp_path / "a"), str(csv_path),
+                       **kw)
+    assert n == 2
+    out = tmp_path / "a" / "0000000001"
+    files = sorted(os.listdir(out))
+    assert files == ["sample_000_time_0_view_0.pkl",
+                     "sample_000_time_0_view_1.pkl"]
+    imgs = []
+    for fn in files:
+        with open(out / fn, "rb") as f:
+            d = pickle.load(f)
+        assert d["render"].shape == (12, 12)
+        assert np.isfinite(d["render"]).all() and (d["render"] >= 0).all()
+        imgs.append(d["render"])
+    assert imgs[0].max() > 0                  # the blob scatters light
+    # the two views get different seeds -> different noise realizations
+    assert np.abs(imgs[0] - imgs[1]).max() > 0
+
+    # same mc_seed reproduces the dataset byte-for-byte
+    render_dataset(str(in_root), str(tmp_path / "b"), str(csv_path), **kw)
+    for fn in files:
+        with open(out / fn, "rb") as f:
+            a = pickle.load(f)["render"]
+        with open(tmp_path / "b" / "0000000001" / fn, "rb") as f:
+            b = pickle.load(f)["render"]
+        np.testing.assert_array_equal(a, b)
+    # a different mc_seed gives a different realization
+    render_dataset(str(in_root), str(tmp_path / "c"), str(csv_path),
+                   **{**kw, "mc_seed": 7})
+    with open(out / files[0], "rb") as f:
+        a = pickle.load(f)["render"]
+    with open(tmp_path / "c" / "0000000001" / files[0], "rb") as f:
+        c = pickle.load(f)["render"]
+    assert np.abs(a - c).max() > 0
+
+    # knob conflicts fail loudly
+    with pytest.raises(ValueError):
+        render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
+                       mc_spp=4, ms_orders=2, verbose=False)
+    with pytest.raises(ValueError):
+        render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
+                       mc_spp=4, batch_size=2, verbose=False)
+
+
+def test_mc_cli_flags_reach_the_driver(tmp_path, capsys):
+    """`gen-renders --mc-spp/--mc-max-depth/--mc-seed` plumb through the
+    CLI to render_dataset."""
+    import pickle
+
+    from unet_convlstm_tpu.cli import main
+
+    in_root, csv_path = _patch_fixture(tmp_path)
+    main(["gen-renders", "--input", str(in_root),
+          "--output", str(tmp_path / "out"), "--csv", str(csv_path),
+          "--res", "12", "--fov", "0.01",
+          "--mc-spp", "4", "--mc-max-depth", "4", "--mc-seed", "5"])
+    assert "wrote 2 render pkls" in capsys.readouterr().out
+    with open(tmp_path / "out" / "0000000001"
+              / "sample_000_time_0_view_0.pkl", "rb") as f:
+        d = pickle.load(f)
+    assert d["render"].shape == (12, 12)
+    assert np.isfinite(d["render"]).all()

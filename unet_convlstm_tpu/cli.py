@@ -176,6 +176,9 @@ def cmd_gen_renders(args):
     n = render_dataset(args.input, args.output, args.csv,
                        resolution=(args.res, args.res), fov_deg=args.fov,
                        g=args.g, start=args.start, end=args.end,
+                       ms_orders=args.ms_orders, mc_spp=args.mc_spp,
+                       mc_max_depth=args.mc_max_depth,
+                       mc_seed=args.mc_seed,
                        batch_size=batch, mesh=mesh)
     print(f"wrote {n} render pkls")
 
@@ -431,6 +434,18 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--data-parallel", action="store_true",
                     help="shard the patch batch over all devices "
                          "(jax.sharding mesh; implies --batch n_devices)")
+    gr.add_argument("--ms-orders", type=int, default=1,
+                    help="successive-order multiple scattering for the "
+                         "deterministic renderer (1 = single scatter)")
+    gr.add_argument("--mc-spp", type=int, default=0,
+                    help="> 0: Monte-Carlo path tracing at this spp "
+                         "(volpath-class transport; reference uses "
+                         "spp 8192, render_all.py:28-30)")
+    gr.add_argument("--mc-max-depth", type=int, default=64,
+                    help="MC: max real scattering events per path")
+    gr.add_argument("--mc-seed", type=int, default=0,
+                    help="MC: base seed (per-view seeds derive from it "
+                         "deterministically)")
     gr.set_defaults(fn=cmd_gen_renders)
 
     gm = sub.add_parser("gen-maps", help="stage C: patches -> velocity maps")

@@ -12,8 +12,20 @@ SURVEY.md §3.4) rebuilt TPU/JAX-native:
 * ``velocity_maps`` — batch driver over patch folders (stage C driver,
                       reference preprocessing/build_WVU_maps.py).
 * ``renderer``      — JAX volumetric radiance renderer (single+multi-scatter
-                      HG, directional sun) replacing the Mitsuba dependency
-                      for stage B; VOL interop for exact-Mitsuba workflows.
+                      HG, directional sun; shear-warp camera composite for
+                      near-parallel satellite views) replacing the Mitsuba
+                      dependency for stage B; VOL interop for exact-Mitsuba
+                      workflows.
+* ``render_shard``  — batched stage-B rendering with the patch axis sharded
+                      over a jax.sharding.Mesh (data-parallel datagen).
+* ``mc_reference``  — Monte-Carlo volumetric path tracer (delta tracking +
+                      HG sampling + sun NEE): the unbiased oracle bounding
+                      the deterministic renderer's domain gap (the
+                      reference's volpath analog, render.py:215-218); also
+                      a production stage-B option via
+                      ``render_dataset(mc_spp=N)`` / ``gen-renders
+                      --mc-spp N`` (reference runs volpath spp 8192,
+                      render_all.py:28-30).
 * ``vol_format``    — Mitsuba ``VOL`` v3 binary grid writer/reader
                       (interop with reference-rendered assets).
 * ``overpass``      — satellite overpass CSV parsing + ENU camera setups

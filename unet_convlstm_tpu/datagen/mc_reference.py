@@ -1,0 +1,185 @@
+"""Monte-Carlo volumetric path tracer — the in-repo radiance oracle.
+
+The reference's stage-B renders come from Mitsuba 3 ``volpath`` (max_depth
+-1, spp 8192 — /root/reference/mitsuba3/render.py:215-218,
+render_all.py:28-30): unbiased multiple-scattering Monte Carlo on CUDA.
+This module is its TPU-native counterpart: a vectorized path tracer used
+to VALIDATE the fast deterministic renderer (renderer.py) — it bounds the
+single-scatter / successive-orders domain gap with an unbiased estimate
+instead of an order-convergence argument, and it gives users who need
+Monte-Carlo renders a JAX path to them (complementing the ``.vol`` interop
+for exact-Mitsuba workflows off-TPU).
+
+Physics identical to the deterministic model's contract (renderer.py
+docstring): heterogeneous extinction β in an AABB, single-lobe
+Henyey–Greenstein phase ``g``, scattering albedo ``a``, directional sun
+with irradiance E. Estimator:
+
+* **Free flight** by delta tracking (Woodcock) under the global majorant
+  β_max: sample t ~ Exp(β_max), accept a real collision with probability
+  β(x)/β_max, else null-collide and continue — unbiased for the same
+  nearest-voxel β field the deterministic march reads.
+* **Next-event estimation** at every real collision: the sun is a delta
+  (directional) emitter, so NEE is the complete estimator — phase-sampled
+  continuation rays can never hit it. The sun transmittance factor reuses
+  ``sun_transmittance``'s per-voxel volume (the deterministic path's own
+  machinery), so the two renderers differ ONLY in how they transport
+  camera-side light, which is exactly the quantity under test.
+* **Continuation** by exact HG inverse-CDF direction sampling around the
+  current direction; path weight ×= a per bounce; paths end on AABB escape,
+  ``max_depth`` real collisions, or the ``max_events`` lockstep bound.
+
+TPU-native shape: ALL camera rays advance in lockstep — one
+``lax.while_loop`` whose state is [N]-vectors (position, direction, weight,
+accumulated radiance, RNG key), with inactive lanes masked; there is no
+per-ray control flow. spp is accumulated by ``lax.scan`` over sample
+rounds (memory stays O(H·W), not O(H·W·spp)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .renderer import (SUN_IRRADIANCE, VolumeScene, hg_phase,
+                       make_camera_rays, sun_transmittance)
+
+
+def _sample_hg(key, d, g: float):
+    """Exact HG inverse-CDF direction sample about unit direction d [N,3]."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, d.shape[:1])
+    u2 = jax.random.uniform(k2, d.shape[:1])
+    if abs(g) < 1e-3:
+        cos_t = 1.0 - 2.0 * u1                    # isotropic limit
+    else:
+        s = (1.0 - g * g) / (1.0 + g - 2.0 * g * u1)
+        cos_t = (1.0 + g * g - s * s) / (2.0 * g)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * jnp.pi * u2
+    # orthonormal frame around d (branchless Duff et al. construction)
+    sign = jnp.where(d[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + d[:, 2])
+    b = d[:, 0] * d[:, 1] * a
+    t1 = jnp.stack([1.0 + sign * d[:, 0] ** 2 * a, sign * b,
+                    -sign * d[:, 0]], axis=-1)
+    t2 = jnp.stack([b, sign + d[:, 1] ** 2 * a, -d[:, 1]], axis=-1)
+    new_d = (sin_t * jnp.cos(phi))[:, None] * t1 \
+        + (sin_t * jnp.sin(phi))[:, None] * t2 + cos_t[:, None] * d
+    return new_d / jnp.linalg.norm(new_d, axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("resolution", "fov", "g", "spp",
+                                   "max_depth", "max_events"))
+def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
+                      origin, target, up, sun_dir, fov, resolution,
+                      g, albedo, irradiance, key, spp, max_depth,
+                      max_events):
+    H, W = resolution
+    nz, ny, nx = beta.shape
+    beta_max = jnp.maximum(jnp.max(beta), 1e-12)
+    toward_sun = -sun_dir
+
+    rays_o, rays_d = make_camera_rays(origin, target, up, fov, resolution)
+    ro = rays_o.reshape(-1, 3)
+    rd = rays_d.reshape(-1, 3)
+    N = ro.shape[0]
+
+    # start each path at its AABB entry point (delta tracking inside only)
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+    t0 = (min_bound - ro) * inv_d
+    t1 = (max_bound - ro) * inv_d
+    tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), 0.0)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+    hits_box = tmax > tmin
+    p_entry = ro + rd * (tmin[:, None] + 1e-4)
+
+    def lookup(vol, p):
+        gi = ((p - min_bound) / voxel_size).astype(jnp.int32)
+        gx = jnp.clip(gi[:, 0], 0, nx - 1)
+        gy = jnp.clip(gi[:, 1], 0, ny - 1)
+        gz = jnp.clip(gi[:, 2], 0, nz - 1)
+        return vol[gz, gy, gx]
+
+    inside = lambda p: jnp.all((p >= min_bound) & (p <= max_bound), axis=1)
+
+    def one_sample(carry, sample_key):
+        acc = carry
+
+        def body(state):
+            i, k, pos, d, w, depth, active, L = state
+            k, k1, k2, k3 = jax.random.split(k, 4)
+            t = -jnp.log(1.0 - jax.random.uniform(k1, (N,))) / beta_max
+            pos = pos + d * t[:, None]
+            in_box = inside(pos)
+            b_here = lookup(beta, pos)
+            real = (jax.random.uniform(k2, (N,)) * beta_max) < b_here
+            ev = active & in_box & real
+
+            # NEE to the directional sun at every real collision
+            cos_sun = jnp.sum(d * toward_sun, axis=-1)
+            contrib = albedo * hg_phase(cos_sun, g) \
+                * lookup(t_sun, pos) * irradiance
+            L = L + jnp.where(ev, w * contrib, 0.0)
+
+            # continue with HG-sampled direction, weight *= albedo
+            new_d = _sample_hg(k3, d, g)
+            d = jnp.where(ev[:, None], new_d, d)
+            w = jnp.where(ev, w * albedo, w)
+            depth = depth + ev.astype(jnp.int32)
+            active = active & in_box & (depth < max_depth)
+            return (i + 1, k, pos, d, w, depth, active, L)
+
+        def cond(state):
+            i = state[0]
+            return (i < max_events) & jnp.any(state[6])
+
+        L0 = jnp.zeros(N)
+        state = (jnp.int32(0), sample_key, p_entry, rd, jnp.ones(N),
+                 jnp.zeros(N, jnp.int32), hits_box, L0)
+        L = jax.lax.while_loop(cond, body, state)[7]
+        return acc + L, None
+
+    keys = jax.random.split(key, spp)
+    total, _ = jax.lax.scan(one_sample, jnp.zeros(N), keys)
+    return (total / spp).reshape(H, W)
+
+
+def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
+                fov_deg: float = 0.25, resolution=(256, 256),
+                sun_dir=(0.0, 0.0, -1.0), g: float = 0.85,
+                albedo: float = 1.0, irradiance: float = SUN_IRRADIANCE,
+                spp: int = 64, max_depth: int = 64,
+                t_sun: Optional[jax.Array] = None,
+                seed: int = 0,
+                max_events: Optional[int] = None) -> jax.Array:
+    """Monte-Carlo radiance view [H, W] — the unbiased counterpart of
+    ``render_radiance`` (camera-side transport by delta-tracked path
+    tracing instead of deterministic quadrature; same β field, same HG
+    phase, same sun-transmittance NEE factor). ``max_depth=1`` estimates
+    exactly the deterministic single-scatter integral — the parity anchor
+    (tests/test_mc_reference.py). The reference analog is volpath spp 8192
+    (mitsuba3/render_all.py:28-30); noise falls as 1/√spp. ``max_events``
+    bounds the lockstep delta-tracking loop (default: enough flights to
+    cross the box diagonal at the majorant's mean free path, ×8 for null
+    collisions and multi-bounce, ≥ 64)."""
+    sun = jnp.asarray(sun_dir, jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    if t_sun is None:
+        t_sun = sun_transmittance(scene, np.asarray(sun))
+    if max_events is None:
+        beta_max = float(np.maximum(np.asarray(scene.beta).max(), 1e-12))
+        max_events = max(64, int(8 * scene.diagonal * beta_max) + 16)
+    return _mc_radiance_impl(
+        scene.beta, t_sun, scene.voxel_size,
+        jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),
+        jnp.asarray(origin, jnp.float32), jnp.asarray(target, jnp.float32),
+        jnp.asarray(up, jnp.float32), sun, float(fov_deg),
+        tuple(resolution), float(g), float(albedo), float(irradiance),
+        jax.random.PRNGKey(seed), int(spp), int(max_depth),
+        int(max_events))

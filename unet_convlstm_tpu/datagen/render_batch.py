@@ -40,6 +40,8 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                    target_z_scale: float = 2.5,
                    start: Optional[int] = None, end: Optional[int] = None,
                    ms_orders: int = 1,
+                   mc_spp: int = 0, mc_max_depth: int = 64,
+                   mc_seed: int = 0,
                    batch_size: int = 1, mesh=None,
                    verbose: bool = True) -> int:
     """Render every patch in every numeric folder; returns pkls written.
@@ -50,12 +52,28 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
     per-patch fluence volume is shared across that patch's views, like the
     sun transmittance).
 
+    ``mc_spp`` > 0 switches the per-view transport to the Monte-Carlo path
+    tracer (datagen/mc_reference.py) at that many samples per pixel — the
+    volpath-class production path (the reference renders with volpath
+    spp 8192, render_all.py:28-30; noise falls as 1/√spp). ``mc_max_depth``
+    bounds real scattering events per path; seeds derive deterministically
+    from ``mc_seed`` and the (folder, patch, view) identity, so a re-run
+    reproduces the dataset byte-for-byte.
+
     ``batch_size`` > 1 renders that many of a folder's patches per
     dispatch as one vmapped SPMD program (they share cameras + sun by the
     cyclic time assignment); pass ``mesh`` (jax.sharding.Mesh) to shard
     the patch axis across devices (render_shard.py). The reference's
     analog is a serial per-patch GPU loop (render_all.py:146-199).
     """
+    if mc_spp > 0 and ms_orders > 1:
+        raise ValueError(
+            "mc_spp renders full multiple scattering already; "
+            "ms_orders > 1 only applies to the deterministic renderer")
+    if mc_spp > 0 and batch_size > 1:
+        raise ValueError(
+            "Monte-Carlo rendering is per-patch (adaptive path-length "
+            "bound); use batch_size=1 with mc_spp")
     if batch_size > 1:
         return _render_dataset_batched(
             input_root, output_root, csv_path, resolution, fov_deg, g,
@@ -102,9 +120,21 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                     for sat, view in enumerate(views):
                         origin_km, _, up = view.renderer_camera_km(0.0)
                         origin = origin_km * 1000.0
-                        img = render_radiance(
-                            scene, origin, target, up, fov_deg, resolution,
-                            sun, g=g, t_sun=t_sun, e_ms=e_ms)
+                        if mc_spp > 0:
+                            from .mc_reference import mc_radiance
+                            seed = (mc_seed * 1000003
+                                    + folder_idx * 8191
+                                    + n * 131 + sat) & 0x7FFFFFFF
+                            img = mc_radiance(
+                                scene, origin, target, up, fov_deg,
+                                resolution, sun, g=g, spp=mc_spp,
+                                max_depth=mc_max_depth, t_sun=t_sun,
+                                seed=seed)
+                        else:
+                            img = render_radiance(
+                                scene, origin, target, up, fov_deg,
+                                resolution, sun, g=g, t_sun=t_sun,
+                                e_ms=e_ms)
                         name = f"{base}_time_{int(t)}_view_{sat}.pkl"
                         with open(os.path.join(out_dir, name), "wb") as f:
                             pickle.dump({"render": np.asarray(img),
