@@ -202,3 +202,75 @@ def test_mc_cli_flags_reach_the_driver(tmp_path, capsys):
         d = pickle.load(f)
     assert d["render"].shape == (12, 12)
     assert np.isfinite(d["render"]).all()
+
+
+def test_calibrate_ms_scale_matches_mc_mean_exactly():
+    """The diffuse term is linear in e_ms, so rendering with e_ms*s hits
+    the MC mean exactly (by construction) — and at backscatter geometry,
+    where isotropic SOS overestimates (docs/RENDERER.md table), the
+    fitted scale must be < 1."""
+    from unet_convlstm_tpu.datagen.mc_reference import calibrate_ms_scale
+    from unet_convlstm_tpu.datagen.renderer import (
+        multiple_scatter_fluence, SUN_IRRADIANCE)
+
+    scene = _blob_scene()
+    sun = np.asarray(_KW["sun_dir"], np.float32)
+    sun = sun / np.linalg.norm(sun)
+    t_sun = sun_transmittance(scene, sun)
+    e_ms = multiple_scatter_fluence(scene.beta, t_sun, 20.0, 1.0,
+                                    SUN_IRRADIANCE, 4)
+    s, diag = calibrate_ms_scale(scene, **_KW, ms_orders=4, spp=64,
+                                 t_sun=t_sun, e_ms=e_ms, seed=1)
+    assert 0.0 < s < 1.0                      # SOS overestimates here
+    calib = np.asarray(render_radiance(scene, **_KW, t_sun=t_sun,
+                                       e_ms=e_ms * s))
+    np.testing.assert_allclose(calib.mean(), diag["mean_mc"], rtol=1e-4)
+    # sanity: the diag means are ordered as the domain-gap table says
+    assert diag["mean_ss"] < diag["mean_mc"] < diag["mean_sos"]
+
+
+def test_calibrate_ms_scale_empty_scene_is_noop():
+    from unet_convlstm_tpu.datagen.mc_reference import calibrate_ms_scale
+
+    scene = VolumeScene(jnp.zeros((8, 8, 8), jnp.float32), 20.0)
+    s, _ = calibrate_ms_scale(scene, (0, 0, 5000.0), (0, 0, 0),
+                              resolution=(8, 8), fov_deg=4.0,
+                              ms_orders=2, spp=4)
+    assert s == 1.0
+
+
+def test_ms_calibration_in_render_dataset(tmp_path):
+    """gen-renders --ms-orders N --ms-calibrate-spp K: renders stay
+    deterministic/noise-free but the diffuse energy is MC-corrected —
+    between the single-scatter and uncalibrated-SOS renders."""
+    import pickle
+
+    from unet_convlstm_tpu.datagen.render_batch import render_dataset
+
+    in_root, csv_path = _patch_fixture(tmp_path)
+    kw = dict(resolution=(12, 12), fov_deg=0.01, verbose=False)
+    render_dataset(str(in_root), str(tmp_path / "ss"), str(csv_path), **kw)
+    render_dataset(str(in_root), str(tmp_path / "sos"), str(csv_path),
+                   **kw, ms_orders=4)
+    render_dataset(str(in_root), str(tmp_path / "cal"), str(csv_path),
+                   **kw, ms_orders=4, ms_calibrate_spp=32)
+    fn = "0000000001/sample_000_time_0_view_0.pkl"
+
+    def load(d):
+        with open(tmp_path / d / fn, "rb") as f:
+            return pickle.load(f)["render"]
+
+    ss, sos, cal = load("ss"), load("sos"), load("cal")
+    assert ss.mean() < cal.mean() < sos.mean()
+    # determinism: same seed -> identical output
+    render_dataset(str(in_root), str(tmp_path / "cal2"), str(csv_path),
+                   **kw, ms_orders=4, ms_calibrate_spp=32)
+    np.testing.assert_array_equal(cal, load("cal2"))
+
+    with pytest.raises(ValueError):
+        render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
+                       ms_calibrate_spp=8, verbose=False)
+    with pytest.raises(ValueError):
+        render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
+                       ms_orders=2, ms_calibrate_spp=8, batch_size=2,
+                       verbose=False)

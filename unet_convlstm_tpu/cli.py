@@ -176,7 +176,9 @@ def cmd_gen_renders(args):
     n = render_dataset(args.input, args.output, args.csv,
                        resolution=(args.res, args.res), fov_deg=args.fov,
                        g=args.g, start=args.start, end=args.end,
-                       ms_orders=args.ms_orders, mc_spp=args.mc_spp,
+                       ms_orders=args.ms_orders,
+                       ms_calibrate_spp=args.ms_calibrate_spp,
+                       mc_spp=args.mc_spp,
                        mc_max_depth=args.mc_max_depth,
                        mc_seed=args.mc_seed,
                        batch_size=batch, mesh=mesh)
@@ -437,6 +439,10 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--ms-orders", type=int, default=1,
                     help="successive-order multiple scattering for the "
                          "deterministic renderer (1 = single scatter)")
+    gr.add_argument("--ms-calibrate-spp", type=int, default=0,
+                    help="> 0: calibrate each patch's diffuse term "
+                         "against one MC reference view at this spp "
+                         "(requires --ms-orders > 1)")
     gr.add_argument("--mc-spp", type=int, default=0,
                     help="> 0: Monte-Carlo path tracing at this spp "
                          "(volpath-class transport; reference uses "

@@ -46,7 +46,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .renderer import (SUN_IRRADIANCE, VolumeScene, hg_phase,
-                       make_camera_rays, sun_transmittance)
+                       make_camera_rays, multiple_scatter_fluence,
+                       render_radiance, sun_transmittance)
 
 
 def _sample_hg(key, d, g: float):
@@ -183,3 +184,56 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
         tuple(resolution), float(g), float(albedo), float(irradiance),
         jax.random.PRNGKey(seed), int(spp), int(max_depth),
         int(max_events))
+
+
+def calibrate_ms_scale(scene: VolumeScene, origin, target,
+                       up=(1.0, 0.0, 0.0), fov_deg: float = 0.25,
+                       resolution=(256, 256), sun_dir=(0.0, 0.0, -1.0),
+                       g: float = 0.85, albedo: float = 1.0,
+                       irradiance: float = SUN_IRRADIANCE,
+                       ms_orders: int = 4, spp: int = 64,
+                       max_depth: int = 64,
+                       t_sun: Optional[jax.Array] = None,
+                       e_ms: Optional[jax.Array] = None,
+                       seed: int = 0) -> Tuple[float, dict]:
+    """Fit the scalar s that makes the SOS render's mean radiance match
+    the unbiased MC estimate for this (scene, camera, sun) — the
+    "calibrate a per-config scale for the SOS term" recipe from
+    docs/RENDERER.md's domain-gap table.
+
+    The diffuse term is exactly linear in the fluence volume
+    (source = β·a/4π·e_ms, renderer.py), so rendering with ``e_ms * s``
+    scales the orders ≥ 2 contribution by exactly s; by construction the
+    calibrated view's mean equals the MC mean (up to float round-off),
+    and the result stays noise-free and deterministic — only the energy
+    of the isotropic-phase approximation is corrected, not its structure.
+
+    Returns ``(s, diag)`` where diag holds the fitted means
+    (``mean_ss``, ``mean_sos``, ``mean_mc``). s is clipped to ≥ 0; if the
+    SOS term contributes nothing (clear scene) s = 1.0 (no-op).
+    """
+    sun = np.asarray(sun_dir, np.float32)
+    sun = sun / np.linalg.norm(sun)
+    if t_sun is None:
+        t_sun = sun_transmittance(scene, sun)
+    if e_ms is None:
+        e_ms = multiple_scatter_fluence(scene.beta, t_sun,
+                                        float(scene.voxel_size),
+                                        float(albedo), float(irradiance),
+                                        int(ms_orders))
+    kw = dict(origin=origin, target=target, up=up, fov_deg=fov_deg,
+              resolution=resolution, sun_dir=sun, g=g, albedo=albedo,
+              irradiance=irradiance, t_sun=t_sun)
+    mean_ss = float(jnp.mean(render_radiance(scene, **kw)))
+    mean_sos = float(jnp.mean(render_radiance(scene, **kw, e_ms=e_ms)))
+    mean_mc = float(jnp.mean(mc_radiance(
+        scene, origin, target, up, fov_deg, resolution, sun, g=g,
+        albedo=albedo, irradiance=irradiance, spp=spp,
+        max_depth=max_depth, t_sun=t_sun, seed=seed)))
+    ms_part = mean_sos - mean_ss
+    if ms_part <= 1e-12 * max(mean_sos, 1e-30):
+        s = 1.0
+    else:
+        s = max(0.0, (mean_mc - mean_ss) / ms_part)
+    return s, {"mean_ss": mean_ss, "mean_sos": mean_sos,
+               "mean_mc": mean_mc}

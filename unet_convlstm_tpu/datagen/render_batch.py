@@ -39,7 +39,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                    voxel_size: float = 20.0, z_offset: float = 0.0,
                    target_z_scale: float = 2.5,
                    start: Optional[int] = None, end: Optional[int] = None,
-                   ms_orders: int = 1,
+                   ms_orders: int = 1, ms_calibrate_spp: int = 0,
                    mc_spp: int = 0, mc_max_depth: int = 64,
                    mc_seed: int = 0,
                    batch_size: int = 1, mesh=None,
@@ -60,6 +60,13 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
     from ``mc_seed`` and the (folder, patch, view) identity, so a re-run
     reproduces the dataset byte-for-byte.
 
+    ``ms_calibrate_spp`` > 0 (with ``ms_orders`` > 1) calibrates each
+    patch's diffuse term against one MC reference view at that spp: the
+    fluence volume is scaled so the view-0 mean radiance matches the
+    unbiased estimate (mc_reference.calibrate_ms_scale), correcting the
+    isotropic-SOS energy bias measured in docs/RENDERER.md while keeping
+    the renders noise-free and deterministic.
+
     ``batch_size`` > 1 renders that many of a folder's patches per
     dispatch as one vmapped SPMD program (they share cameras + sun by the
     cyclic time assignment); pass ``mesh`` (jax.sharding.Mesh) to shard
@@ -74,6 +81,14 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
         raise ValueError(
             "Monte-Carlo rendering is per-patch (adaptive path-length "
             "bound); use batch_size=1 with mc_spp")
+    if ms_calibrate_spp > 0 and ms_orders <= 1:
+        raise ValueError(
+            "ms_calibrate_spp calibrates the ms_orders > 1 diffuse term; "
+            "set ms_orders (or use mc_spp for full MC transport)")
+    if ms_calibrate_spp > 0 and batch_size > 1:
+        raise ValueError(
+            "MC calibration is per-patch; use batch_size=1 with "
+            "ms_calibrate_spp")
     if batch_size > 1:
         return _render_dataset_batched(
             input_root, output_root, csv_path, resolution, fov_deg, g,
@@ -116,6 +131,20 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                     z_center = (scene.min_bound[2] + scene.max_bound[2]) / 2
                     target = np.array([0.0, 0.0,
                                        z_center * target_z_scale])
+                    if e_ms is not None and ms_calibrate_spp > 0:
+                        from .mc_reference import calibrate_ms_scale
+                        cal_origin_km, _, cal_up = \
+                            views[0].renderer_camera_km(0.0)
+                        s, _ = calibrate_ms_scale(
+                            scene, cal_origin_km * 1000.0, target,
+                            up=cal_up, fov_deg=fov_deg,
+                            resolution=resolution, sun_dir=sun, g=g,
+                            e_ms=e_ms, t_sun=t_sun,
+                            spp=ms_calibrate_spp,
+                            seed=(folder_idx * 8191 + n * 131)
+                            & 0x7FFFFFFF)
+                        e_ms = e_ms * s
+                        log(f"[render] {pkl_file}: ms scale {s:.3f}")
                     base = os.path.splitext(pkl_file)[0]
                     for sat, view in enumerate(views):
                         origin_km, _, up = view.renderer_camera_km(0.0)
