@@ -179,9 +179,46 @@ def test_mc_render_dataset_driver(tmp_path):
     with pytest.raises(ValueError):
         render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
                        mc_spp=4, ms_orders=2, verbose=False)
-    with pytest.raises(ValueError):
-        render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
-                       mc_spp=4, batch_size=2, verbose=False)
+
+
+def test_mc_batched_equals_serial(tmp_path):
+    """mc_spp composes with the data-parallel driver: a chunk path-traces
+    as ONE vmapped SPMD program over the mesh, and (seeds matching the
+    serial derivation) the batched dataset equals the serial one."""
+    import pickle
+
+    import jax
+    from jax.sharding import Mesh
+
+    from unet_convlstm_tpu.datagen.render_batch import render_dataset
+
+    in_root, csv_path = _patch_fixture(tmp_path)
+    # second + third patches in the same folder: exercises within-folder
+    # index bookkeeping (seeds) and non-divisible batch padding
+    with open(in_root / "0000000001" / "sample_000.pkl", "rb") as f:
+        beta = pickle.load(f)["beta_ext"]
+    for i in (1, 2):
+        with open(in_root / "0000000001" / f"sample_00{i}.pkl",
+                  "wb") as f:
+            pickle.dump({"beta_ext": np.roll(beta, i, axis=1)}, f)
+
+    kw = dict(resolution=(12, 12), fov_deg=0.01, verbose=False,
+              mc_spp=8, mc_max_depth=8, mc_seed=3)
+    n1 = render_dataset(str(in_root), str(tmp_path / "serial"),
+                        str(csv_path), **kw)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n2 = render_dataset(str(in_root), str(tmp_path / "batched"),
+                        str(csv_path), **kw, batch_size=2, mesh=mesh)
+    assert n1 == n2 == 6
+    for i in range(3):
+        for sat in range(2):
+            fn = f"0000000001/sample_00{i}_time_0_view_{sat}.pkl"
+            with open(tmp_path / "serial" / fn, "rb") as f:
+                a = pickle.load(f)["render"]
+            with open(tmp_path / "batched" / fn, "rb") as f:
+                b = pickle.load(f)["render"]
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8,
+                                       err_msg=fn)
 
 
 def test_mc_cli_flags_reach_the_driver(tmp_path, capsys):

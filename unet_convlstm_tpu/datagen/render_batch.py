@@ -77,10 +77,6 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
         raise ValueError(
             "mc_spp renders full multiple scattering already; "
             "ms_orders > 1 only applies to the deterministic renderer")
-    if mc_spp > 0 and batch_size > 1:
-        raise ValueError(
-            "Monte-Carlo rendering is per-patch (adaptive path-length "
-            "bound); use batch_size=1 with mc_spp")
     if ms_calibrate_spp > 0 and ms_orders <= 1:
         raise ValueError(
             "ms_calibrate_spp calibrates the ms_orders > 1 diffuse term; "
@@ -93,7 +89,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
         return _render_dataset_batched(
             input_root, output_root, csv_path, resolution, fov_deg, g,
             voxel_size, z_offset, target_z_scale, start, end, ms_orders,
-            batch_size, mesh, verbose)
+            mc_spp, mc_max_depth, mc_seed, batch_size, mesh, verbose)
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
     folders = enumerate_patch_folders(input_root, start, end)
@@ -194,8 +190,13 @@ def _load_chunk(paths):
 def _render_dataset_batched(input_root, output_root, csv_path, resolution,
                             fov_deg, g, voxel_size, z_offset,
                             target_z_scale, start, end, ms_orders,
+                            mc_spp, mc_max_depth, mc_seed,
                             batch_size, mesh, verbose) -> int:
-    """Chunked/sharded body of render_dataset (batch_size > 1)."""
+    """Chunked/sharded body of render_dataset (batch_size > 1). With
+    ``mc_spp`` > 0 the chunk path-traces as one vmapped SPMD program;
+    seeds match the serial driver's per-(folder, patch, view) derivation,
+    so serial and batched MC datasets are identical whenever the
+    chunk-conservative lockstep bound doesn't bind (it's a safety net)."""
     from .render_shard import render_views_batch
 
     log = print if verbose else (lambda *a, **k: None)
@@ -215,16 +216,19 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
             pkls = sorted(f for f in os.listdir(in_dir)
                           if f.endswith(".pkl"))
             for c in range(0, len(pkls), batch_size):
-                chunks.append((folder_idx, folder,
+                chunks.append((folder_idx, folder, c,
                                [os.path.join(in_dir, p)
                                 for p in pkls[c:c + batch_size]]))
-        future = (pool.submit(_load_chunk, chunks[0][2]) if chunks
+        future = (pool.submit(_load_chunk, chunks[0][3]) if chunks
                   else None)
-        for n, (folder_idx, folder, paths) in enumerate(chunks):
+        for n, (folder_idx, folder, c0, paths) in enumerate(chunks):
             loaded = future.result()
             if n + 1 < len(chunks):
-                future = pool.submit(_load_chunk, chunks[n + 1][2])
-            good = [(name, b) for name, b in loaded
+                future = pool.submit(_load_chunk, chunks[n + 1][3])
+            # keep each sample's index within the FOLDER's pkl list (c0+j)
+            # — the serial driver's seed derivation uses it
+            good = [(c0 + j, name, b)
+                    for j, (name, b) in enumerate(loaded)
                     if not isinstance(b, Exception)]
             for name, err in loaded:
                 if isinstance(err, Exception):
@@ -235,7 +239,7 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
             views = schedule[t]
             sun = sun_direction(views[0].sun_zenith, views[0].sun_azimuth)
             try:
-                beta_b = np.stack([b for _, b in good])
+                beta_b = np.stack([b for _, _, b in good])
             except Exception as e:  # e.g. mixed patch shapes in one chunk
                 log(f"[render] chunk failed in {folder}: {e}")
                 continue
@@ -246,18 +250,26 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
             for view in views:
                 origin_km, _, up = view.renderer_camera_km(0.0)
                 cams.append((origin_km * 1000.0, target, up))
+            mc_seeds = None
+            if mc_spp > 0:
+                mc_seeds = np.array(
+                    [[(mc_seed * 1000003 + folder_idx * 8191
+                       + ni * 131 + sat) & 0x7FFFFFFF
+                      for sat in range(len(views))]
+                     for ni, _, _ in good], np.int32)
             try:
                 imgs = render_views_batch(
                     beta_b, cams, sun, voxel_size=voxel_size,
                     z_offset=z_offset, fov_deg=fov_deg,
                     resolution=resolution, g=g, ms_orders=ms_orders,
-                    mesh=mesh)
+                    mc_spp=mc_spp, mc_max_depth=mc_max_depth,
+                    mc_seeds=mc_seeds, mesh=mesh)
             except Exception as e:
                 log(f"[render] chunk failed in {folder}: {e}")
                 continue
             out_dir = os.path.join(output_root, folder)
             os.makedirs(out_dir, exist_ok=True)
-            for bi, (name, _) in enumerate(good):
+            for bi, (_, name, _) in enumerate(good):
                 base = os.path.splitext(name)[0]
                 for sat in range(len(views)):
                     out = f"{base}_time_{int(t)}_view_{sat}.pkl"

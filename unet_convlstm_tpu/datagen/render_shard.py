@@ -61,6 +61,9 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
                        irradiance: float = SUN_IRRADIANCE,
                        ocean_albedo: float = 0.0, ms_orders: int = 1,
                        camera_method: str = "auto",
+                       mc_spp: int = 0, mc_max_depth: int = 64,
+                       mc_seeds=None,
+                       mc_max_events: Optional[int] = None,
                        mesh: Optional[Mesh] = None) -> np.ndarray:
     """Render ``views`` of every volume in ``beta_batch`` → [B, V, H, W].
 
@@ -71,6 +74,14 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
     sharded over its first axis (B is zero-padded up to a multiple of the
     axis size; padding is dropped from the result). Camera-method
     dispatch per view matches ``render_radiance(camera_method='auto')``.
+
+    ``mc_spp`` > 0 uses Monte-Carlo transport (mc_reference.py) instead
+    of the deterministic kernels — the whole chunk path-traces as one
+    vmapped SPMD program. ``mc_seeds`` [B, V] int32 is then required
+    (per-patch-per-view seeds); ``mc_max_events`` bounds the lockstep
+    delta-tracking loop (default: chunk-conservative, the max of the
+    per-patch serial bounds — a safety net that rarely binds, so batched
+    renders equal per-patch ``mc_radiance`` calls with the same seeds).
     """
     if camera_method not in ("auto", "ortho", "march"):
         raise ValueError(f"unknown camera_method {camera_method!r}: "
@@ -84,7 +95,24 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
     sun = np.asarray(sun_dir, np.float32)
     sun = sun / np.linalg.norm(sun)
 
-    (beta_batch,), pad_b = pad_and_shard([beta_batch], mesh)
+    if mc_spp > 0:
+        if ms_orders > 1:
+            raise ValueError("mc_spp renders full multiple scattering "
+                             "already; ms_orders > 1 is deterministic-only")
+        if mc_seeds is None:
+            raise ValueError("mc_seeds [B, V] is required with mc_spp")
+        mc_seeds = jnp.asarray(mc_seeds, jnp.int32)
+        if mc_seeds.shape != (B, len(views)):
+            raise ValueError(f"mc_seeds must be [B={B}, V={len(views)}], "
+                             f"got {mc_seeds.shape}")
+        if mc_max_events is None:
+            bmax = float(np.max(np.asarray(beta_batch)))
+            mc_max_events = max(64, int(8 * geom.diagonal
+                                        * max(bmax, 1e-12)) + 16)
+        (beta_batch, mc_seeds), pad_b = pad_and_shard(
+            [beta_batch, mc_seeds], mesh)
+    else:
+        (beta_batch,), pad_b = pad_and_shard([beta_batch], mesh)
 
     # --- shared per-chunk volumes: t_sun (+ e_ms), one vmapped program ---
     toward = -sun
@@ -117,7 +145,21 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
     min_b = jnp.asarray(geom.min_bound)
     max_b = jnp.asarray(geom.max_bound)
     out = []
-    for origin, target, up in views:
+    for vi, (origin, target, up) in enumerate(views):
+        if mc_spp > 0:
+            from .mc_reference import _mc_radiance_impl
+            keys_v = jax.vmap(jax.random.PRNGKey)(mc_seeds[:, vi])
+            img = jax.vmap(lambda b, t, k: _mc_radiance_impl(
+                b, t, voxel_size, min_b, max_b,
+                jnp.asarray(origin, jnp.float32),
+                jnp.asarray(target, jnp.float32),
+                jnp.asarray(up, jnp.float32),
+                jnp.asarray(sun, jnp.float32), float(fov_deg), res,
+                float(g), float(albedo), float(irradiance), k,
+                int(mc_spp), int(mc_max_depth), int(mc_max_events)))(
+                beta_batch, t_sun, keys_v)
+            out.append(img)
+            continue
         eligible, why = _ortho_eligibility(geom, origin, target, fov_deg,
                                            res, None)
         if camera_method == "ortho" and not eligible:
