@@ -75,6 +75,30 @@ def test_mc_single_scatter_is_march_quadrature_limit():
     assert np.corrcoef(mc.ravel(), m2.ravel())[0, 1] > 0.99
 
 
+def test_mc_majorant_grid_is_unbiased():
+    """The super-voxel majorant grid (capped delta tracking under local
+    max-pooled majorants) samples the SAME distribution as plain
+    global-majorant tracking — two independent unbiased estimates of one
+    integral must agree within MC noise, including with multi-bounce
+    transport crossing macro-cell boundaries."""
+    scene = _blob_scene()
+    kw = dict(**_KW, spp=256, max_depth=8)
+    # single-seed means carry ~4.6% noise at spp 256; average 4 seeds per
+    # estimator (measured seed sd 0.010 on mean 0.22 → avg SE ~0.5%)
+    grid = np.mean([np.asarray(mc_radiance(scene, **kw, seed=s,
+                                           majorant_cell=4))
+                    for s in range(4)], axis=0)
+    flat = np.mean([np.asarray(mc_radiance(scene, **kw, seed=s,
+                                           majorant_cell=0))
+                    for s in range(4)], axis=0)
+    assert abs(grid.mean() - flat.mean()) / flat.mean() < 0.06
+    # structural agreement on 4×4 block means (per-pixel MC noise at this
+    # spp still swamps a raw pixelwise correlation)
+    block = lambda im: im.reshape(6, 4, 6, 4).mean(axis=(1, 3))
+    assert np.corrcoef(block(grid).ravel(),
+                       block(flat).ravel())[0, 1] > 0.98
+
+
 def test_mc_depth_adds_nonnegative_energy_pixelwise():
     """Same seed ⇒ identical trajectories ⇒ a deeper run's image is the
     shallower run's image plus non-negative extra bounces, per pixel."""

@@ -333,6 +333,9 @@ def cmd_cloud_gate(args):
     if args.wvu:
         cfg = (PRODUCTION_WVU if args.production else
                dataclasses.replace(cfg, map_type="wvu", use_mask=True))
+    if args.ms_orders != 1 or args.ms_calibrate_spp:
+        cfg = dataclasses.replace(cfg, ms_orders=args.ms_orders,
+                                  ms_calibrate_spp=args.ms_calibrate_spp)
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
     raise SystemExit(0 if res["passed"] else 1)
 
@@ -521,6 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="production geometry (128², base_ch 64; TPU)")
     cg.add_argument("--wvu", action="store_true",
                     help="3-channel u/v/w target (cloud_wvu.json family)")
+    cg.add_argument("--ms-orders", type=int, default=1,
+                    help="stage-B successive-order scattering")
+    cg.add_argument("--ms-calibrate-spp", type=int, default=0,
+                    help="stage-B MC energy calibration spp "
+                         "(requires --ms-orders > 1)")
     cg.set_defaults(fn=cmd_cloud_gate)
 
     sv = sub.add_parser("serve",

@@ -62,6 +62,13 @@ class CloudGateConfig:
     # gate's single/multi-scatter renders peak near ~1.0, so a masked run
     # needs a threshold that actually selects cloudy pixels.
     mask_threshold: float = 0.35
+    # stage-B transport (render_batch.render_dataset knobs): ms_orders > 1
+    # adds successive-order scattering; ms_calibrate_spp > 0 additionally
+    # fits each patch's diffuse energy to a Monte-Carlo reference view
+    # (docs/RENDERER.md) — the closest noise-free analog of the
+    # reference's volpath training distribution
+    ms_orders: int = 1
+    ms_calibrate_spp: int = 0
 
 
 PRODUCTION = CloudGateConfig(
@@ -155,7 +162,9 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
     render_dataset(patches, os.path.join(work_dir, "renders"), csv,
                    resolution=(cfg.render_res,) * 2, fov_deg=fov,
-                   voxel_size=cfg.voxel_size, verbose=verbose)
+                   voxel_size=cfg.voxel_size, ms_orders=cfg.ms_orders,
+                   ms_calibrate_spp=cfg.ms_calibrate_spp,
+                   verbose=verbose)
     build_velocity_maps(patches, os.path.join(work_dir, "maps"), csv,
                         mode="slice", resolution=(cfg.render_res,) * 2,
                         slice_height_m=slice_h,
