@@ -226,8 +226,11 @@ def test_mc_batched_equals_serial(tmp_path):
                   "wb") as f:
             pickle.dump({"beta_ext": np.roll(beta, i, axis=1)}, f)
 
+    # mc_majorant_cell=4 exercises the super-voxel grid in BOTH paths
+    # (it changes the RNG realization, so the knob must reach serial and
+    # batched identically for the equality below to hold)
     kw = dict(resolution=(12, 12), fov_deg=0.01, verbose=False,
-              mc_spp=8, mc_max_depth=8, mc_seed=3)
+              mc_spp=8, mc_max_depth=8, mc_seed=3, mc_majorant_cell=4)
     n1 = render_dataset(str(in_root), str(tmp_path / "serial"),
                         str(csv_path), **kw)
     mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -256,7 +259,8 @@ def test_mc_cli_flags_reach_the_driver(tmp_path, capsys):
     main(["gen-renders", "--input", str(in_root),
           "--output", str(tmp_path / "out"), "--csv", str(csv_path),
           "--res", "12", "--fov", "0.01",
-          "--mc-spp", "4", "--mc-max-depth", "4", "--mc-seed", "5"])
+          "--mc-spp", "4", "--mc-max-depth", "4", "--mc-seed", "5",
+          "--mc-majorant-cell", "4"])
     assert "wrote 2 render pkls" in capsys.readouterr().out
     with open(tmp_path / "out" / "0000000001"
               / "sample_000_time_0_view_0.pkl", "rb") as f:

@@ -181,6 +181,7 @@ def cmd_gen_renders(args):
                        mc_spp=args.mc_spp,
                        mc_max_depth=args.mc_max_depth,
                        mc_seed=args.mc_seed,
+                       mc_majorant_cell=args.mc_majorant_cell,
                        batch_size=batch, mesh=mesh)
     print(f"wrote {n} render pkls")
 
@@ -455,6 +456,10 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--mc-seed", type=int, default=0,
                     help="MC: base seed (per-view seeds derive from it "
                          "deterministically)")
+    gr.add_argument("--mc-majorant-cell", type=int, default=0,
+                    help="MC: super-voxel majorant grid edge (voxels); "
+                         "2.5x on dense-compact patches, changes the "
+                         "RNG realization (0 = global majorant)")
     gr.set_defaults(fn=cmd_gen_renders)
 
     gm = sub.add_parser("gen-maps", help="stage C: patches -> velocity maps")

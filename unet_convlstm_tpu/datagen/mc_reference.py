@@ -139,18 +139,29 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
             k, k1, k2, k3 = jax.random.split(k, 4)
             u1 = jax.random.uniform(k1, (N,))
             if majorant_cell > 0:
-                ci = jnp.floor((pos - min_bound) / cell_m)
+                # Exit distances are computed ENTIRELY in index space:
+                # ``floor`` is exact against the computed quotient u, so the
+                # per-axis distance frac·cell_m is non-negative by
+                # construction. (Mixing floor(u) with a world-space
+                # cell_lo = min_bound + ci·cell_m is NOT safe: the two
+                # roundings can disagree by one ulp, yielding a negative
+                # crossing time that clamps to an ε-advance below the
+                # float32 ulp of |pos| — a permanently stuck lane that
+                # defeats the while_loop's early exit.) A position exactly
+                # on a face with the direction pointing down that axis
+                # belongs to the receiving cell (DDA convention), which
+                # also covers rays entering at the box max face.
+                u = (pos - min_bound) / cell_m
+                ci = jnp.floor(u)
+                ci = ci - ((u == ci) & (d < 0))
                 m = macro[jnp.clip(ci[:, 2].astype(jnp.int32), 0, mz - 1),
                           jnp.clip(ci[:, 1].astype(jnp.int32), 0, my - 1),
                           jnp.clip(ci[:, 0].astype(jnp.int32), 0, mx - 1)]
-                cell_lo = min_bound + ci * cell_m
-                cell_hi = cell_lo + cell_m
-                dsafe = jnp.where(jnp.abs(d) < 1e-9, 1.0, d)
-                t_axis = jnp.where(
-                    jnp.abs(d) < 1e-9, jnp.inf,
-                    jnp.where(d > 0, cell_hi - pos, cell_lo - pos) / dsafe)
-                t_exit = jnp.maximum(jnp.min(t_axis, axis=1), 0.0) \
-                    + 1e-3 * voxel_size
+                frac = u - ci                      # in [0, 1]
+                dist = jnp.where(d > 0, 1.0 - frac, frac) * cell_m
+                t_axis = jnp.where(jnp.abs(d) < 1e-9, jnp.inf,
+                                   dist / jnp.abs(d))
+                t_exit = jnp.min(t_axis, axis=1) + 1e-3 * voxel_size
                 t_flight = -jnp.log(1.0 - u1) / jnp.maximum(m, 1e-12)
                 crossed = t_flight >= t_exit
                 t = jnp.minimum(t_flight, t_exit)
@@ -218,7 +229,7 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                 t_sun: Optional[jax.Array] = None,
                 seed: int = 0,
                 max_events: Optional[int] = None,
-                majorant_cell: int = DEFAULT_MAJORANT_CELL) -> jax.Array:
+                majorant_cell: Optional[int] = None) -> jax.Array:
     """Monte-Carlo radiance view [H, W] — the unbiased counterpart of
     ``render_radiance`` (camera-side transport by delta-tracked path
     tracing instead of deterministic quadrature; same β field, same HG
@@ -231,12 +242,23 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     collisions and multi-bounce, ≥ 64, plus macro-cell crossings).
     ``majorant_cell`` > 0 enables the super-voxel majorant grid (capped
     delta tracking, see ``_mc_radiance_impl``) — same distribution,
-    far fewer lockstep iterations on sparse volumes; 0 restores plain
-    global-majorant tracking."""
+    far fewer lockstep iterations on dense-compact volumes; 0 forces
+    plain global-majorant tracking. Default ``None`` auto-selects: the
+    grid pays off only when crossing the box at the global majorant's
+    mean free path costs many null collisions (β_max·diagonal large);
+    on broad smooth volumes the lockstep iteration count is set by the
+    deepest-scattering lanes, which the grid cannot shorten, so its
+    per-iteration overhead is pure loss. Measured at the production
+    patch geometry: dense cumulus (β_max 0.15) 2.5× faster with the
+    grid, broad blob (β_max 0.01) 15% slower (docs/RENDERER.md)."""
     sun = jnp.asarray(sun_dir, jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
     if t_sun is None:
         t_sun = sun_transmittance(scene, np.asarray(sun))
+    if majorant_cell is None:
+        beta_max = float(np.max(np.asarray(scene.beta)))
+        majorant_cell = (DEFAULT_MAJORANT_CELL
+                         if beta_max * scene.diagonal >= 128.0 else 0)
     if max_events is None:
         max_events = default_max_events(
             float(np.max(np.asarray(scene.beta))), scene.diagonal,

@@ -41,7 +41,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                    start: Optional[int] = None, end: Optional[int] = None,
                    ms_orders: int = 1, ms_calibrate_spp: int = 0,
                    mc_spp: int = 0, mc_max_depth: int = 64,
-                   mc_seed: int = 0,
+                   mc_seed: int = 0, mc_majorant_cell: int = 0,
                    batch_size: int = 1, mesh=None,
                    verbose: bool = True) -> int:
     """Render every patch in every numeric folder; returns pkls written.
@@ -58,7 +58,11 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
     spp 8192, render_all.py:28-30; noise falls as 1/√spp). ``mc_max_depth``
     bounds real scattering events per path; seeds derive deterministically
     from ``mc_seed`` and the (folder, patch, view) identity, so a re-run
-    reproduces the dataset byte-for-byte.
+    reproduces the dataset byte-for-byte. ``mc_majorant_cell`` > 0 turns
+    on the super-voxel majorant grid (2.5× on dense-compact patches,
+    docs/RENDERER.md); it changes the RNG realization, so it is an
+    explicit dataset knob (default 0 keeps existing datasets
+    byte-stable) applied identically to serial and batched runs.
 
     ``ms_calibrate_spp`` > 0 (with ``ms_orders`` > 1) calibrates each
     patch's diffuse term against one MC reference view at that spp: the
@@ -89,7 +93,8 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
         return _render_dataset_batched(
             input_root, output_root, csv_path, resolution, fov_deg, g,
             voxel_size, z_offset, target_z_scale, start, end, ms_orders,
-            mc_spp, mc_max_depth, mc_seed, batch_size, mesh, verbose)
+            mc_spp, mc_max_depth, mc_seed, mc_majorant_cell,
+            batch_size, mesh, verbose)
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
     folders = enumerate_patch_folders(input_root, start, end)
@@ -154,7 +159,8 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                                 scene, origin, target, up, fov_deg,
                                 resolution, sun, g=g, spp=mc_spp,
                                 max_depth=mc_max_depth, t_sun=t_sun,
-                                seed=seed)
+                                seed=seed,
+                                majorant_cell=mc_majorant_cell)
                         else:
                             img = render_radiance(
                                 scene, origin, target, up, fov_deg,
@@ -191,6 +197,7 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
                             fov_deg, g, voxel_size, z_offset,
                             target_z_scale, start, end, ms_orders,
                             mc_spp, mc_max_depth, mc_seed,
+                            mc_majorant_cell,
                             batch_size, mesh, verbose) -> int:
     """Chunked/sharded body of render_dataset (batch_size > 1). With
     ``mc_spp`` > 0 the chunk path-traces as one vmapped SPMD program;
@@ -263,7 +270,8 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
                     z_offset=z_offset, fov_deg=fov_deg,
                     resolution=resolution, g=g, ms_orders=ms_orders,
                     mc_spp=mc_spp, mc_max_depth=mc_max_depth,
-                    mc_seeds=mc_seeds, mesh=mesh)
+                    mc_seeds=mc_seeds,
+                    mc_majorant_cell=mc_majorant_cell, mesh=mesh)
             except Exception as e:
                 log(f"[render] chunk failed in {folder}: {e}")
                 continue

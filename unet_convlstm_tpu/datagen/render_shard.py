@@ -64,6 +64,7 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
                        mc_spp: int = 0, mc_max_depth: int = 64,
                        mc_seeds=None,
                        mc_max_events: Optional[int] = None,
+                       mc_majorant_cell: int = 0,
                        mesh: Optional[Mesh] = None) -> np.ndarray:
     """Render ``views`` of every volume in ``beta_batch`` → [B, V, H, W].
 
@@ -82,6 +83,10 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
     delta-tracking loop (default: chunk-conservative, the max of the
     per-patch serial bounds — a safety net that rarely binds, so batched
     renders equal per-patch ``mc_radiance`` calls with the same seeds).
+    ``mc_majorant_cell`` > 0 enables the super-voxel majorant grid
+    (mc_reference.py); it changes the sampled RNG sequence, so serial
+    and batched runs must use the same value — the driver plumbs one
+    knob to both paths.
     """
     if camera_method not in ("auto", "ortho", "march"):
         raise ValueError(f"unknown camera_method {camera_method!r}: "
@@ -106,9 +111,10 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
             raise ValueError(f"mc_seeds must be [B={B}, V={len(views)}], "
                              f"got {mc_seeds.shape}")
         if mc_max_events is None:
+            from .mc_reference import default_max_events
             bmax = float(np.max(np.asarray(beta_batch)))
-            mc_max_events = max(64, int(8 * geom.diagonal
-                                        * max(bmax, 1e-12)) + 16)
+            mc_max_events = default_max_events(
+                bmax, geom.diagonal, float(voxel_size), mc_majorant_cell)
         (beta_batch, mc_seeds), pad_b = pad_and_shard(
             [beta_batch, mc_seeds], mesh)
     else:
@@ -156,7 +162,8 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
                 jnp.asarray(up, jnp.float32),
                 jnp.asarray(sun, jnp.float32), float(fov_deg), res,
                 float(g), float(albedo), float(irradiance), k,
-                int(mc_spp), int(mc_max_depth), int(mc_max_events)))(
+                int(mc_spp), int(mc_max_depth), int(mc_max_events),
+                int(mc_majorant_cell)))(
                 beta_batch, t_sun, keys_v)
             out.append(img)
             continue
