@@ -339,3 +339,33 @@ def test_ms_calibration_in_render_dataset(tmp_path):
         render_dataset(str(in_root), str(tmp_path / "x"), str(csv_path),
                        ms_orders=2, ms_calibrate_spp=8, batch_size=2,
                        verbose=False)
+
+
+def test_max_events_is_not_a_compile_key():
+    """max_events derives per patch from beta_max, so it must be a traced
+    operand of the jitted tracer: if it were static, gen-renders --mc-spp
+    would retrace + recompile for nearly every patch in a dataset sweep
+    (tens of seconds each on TPU), dwarfing the render itself."""
+    from unet_convlstm_tpu.datagen.mc_reference import _mc_radiance_impl
+
+    scene = _blob_scene()
+    _ = mc_radiance(scene, **_KW, spp=2, max_events=70, seed=0)
+    n_compiles = _mc_radiance_impl._cache_size()
+    _ = mc_radiance(scene, **_KW, spp=2, max_events=93, seed=1)
+    assert _mc_radiance_impl._cache_size() == n_compiles
+
+
+def test_mc_view_seed_contract():
+    """The per-(folder, patch, view) seed is the dataset reproducibility
+    contract shared by the serial and batched drivers; pin its values so
+    an accidental formula change (which would silently re-realize every
+    --mc-spp dataset) fails a test instead."""
+    from unet_convlstm_tpu.datagen.mc_reference import mc_view_seed
+
+    assert mc_view_seed(0, 0, 0, 0) == 0
+    assert mc_view_seed(5, 3, 2, 1) == 5 * 1000003 + 3 * 8191 + 2 * 131 + 1
+    assert 0 <= mc_view_seed(2**31 - 1, 10**6, 10**4, 3) <= 0x7FFFFFFF
+    # distinct identities -> distinct seeds in a realistic dataset range
+    seeds = {mc_view_seed(7, f, n, s)
+             for f in range(40) for n in range(49) for s in range(2)}
+    assert len(seeds) == 40 * 49 * 2

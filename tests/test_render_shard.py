@@ -97,6 +97,16 @@ def test_batch_input_validation():
         render_views_batch(_beta_batch(1), _VIEWS, _SUN,
                            camera_method="ortho", fov_deg=8.0,
                            resolution=(24, 24))
+    # deterministic-only knobs must fail loudly under MC transport, not
+    # be silently dropped (the MC tracer has no ocean term and no ortho
+    # camera composite)
+    seeds = np.zeros((1, len(_VIEWS)), np.int32)
+    with pytest.raises(ValueError, match="ocean_albedo"):
+        render_views_batch(_beta_batch(1), _VIEWS, _SUN, mc_spp=2,
+                           mc_seeds=seeds, ocean_albedo=3e-4, **_KW)
+    with pytest.raises(ValueError, match="camera_method"):
+        render_views_batch(_beta_batch(1), _VIEWS, _SUN, mc_spp=2,
+                           mc_seeds=seeds, camera_method="march", **_KW)
 
 
 def _write_patch_tree(root, n_folders=2, n_samples=3):

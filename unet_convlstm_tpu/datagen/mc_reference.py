@@ -47,7 +47,18 @@ import numpy as np
 
 from .renderer import (SUN_IRRADIANCE, VolumeScene, hg_phase,
                        make_camera_rays, multiple_scatter_fluence,
-                       render_radiance, sun_transmittance)
+                       ray_aabb_interval, render_radiance,
+                       sun_transmittance)
+
+
+def mc_view_seed(mc_seed: int, folder_idx: int, n: int, sat: int) -> int:
+    """Deterministic per-(folder, patch, view) MC seed — THE dataset
+    reproducibility contract for ``gen-renders --mc-spp`` (a re-run
+    reproduces every pkl byte-for-byte). The serial and batched stage-B
+    drivers both call this one helper so their realizations can never
+    drift apart (tests/test_mc_reference.py::test_mc_batched_equals_serial)."""
+    return (mc_seed * 1000003 + folder_idx * 8191 + n * 131 + sat) \
+        & 0x7FFFFFFF
 
 
 def _sample_hg(key, d, g: float):
@@ -79,12 +90,15 @@ DEFAULT_MAJORANT_CELL = 16  # super-voxel edge length (voxels)
 
 
 @partial(jax.jit, static_argnames=("resolution", "fov", "g", "spp",
-                                   "max_depth", "max_events",
-                                   "majorant_cell"))
+                                   "max_depth", "majorant_cell"))
 def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                       origin, target, up, sun_dir, fov, resolution,
                       g, albedo, irradiance, key, spp, max_depth,
                       max_events, majorant_cell=0):
+    # NB: max_events is a TRACED operand (it only feeds the while_loop
+    # condition) — it is derived per patch from beta_max, and making it
+    # static would recompile this whole tracer for nearly every patch in
+    # a gen-renders --mc-spp sweep.
     H, W = resolution
     nz, ny, nx = beta.shape
     beta_max = jnp.maximum(jnp.max(beta), 1e-12)
@@ -113,12 +127,9 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
     rd = rays_d.reshape(-1, 3)
     N = ro.shape[0]
 
-    # start each path at its AABB entry point (delta tracking inside only)
-    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
-    t0 = (min_bound - ro) * inv_d
-    t1 = (max_bound - ro) * inv_d
-    tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), 0.0)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+    # start each path at its AABB entry point (delta tracking inside only);
+    # same slab helper as the deterministic march — identical entry geometry
+    tmin, tmax = ray_aabb_interval(ro, rd, min_bound, max_bound)
     hits_box = tmax > tmin
     p_entry = ro + rd * (tmin[:, None] + 1e-4)
 
@@ -161,10 +172,20 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                 dist = jnp.where(d > 0, 1.0 - frac, frac) * cell_m
                 t_axis = jnp.where(jnp.abs(d) < 1e-9, jnp.inf,
                                    dist / jnp.abs(d))
-                t_exit = jnp.min(t_axis, axis=1) + 1e-3 * voxel_size
+                t_exit = jnp.min(t_axis, axis=1)
                 t_flight = -jnp.log(1.0 - u1) / jnp.maximum(m, 1e-12)
+                # Classify against the TRUE exit distance; only crossings
+                # advance the extra ε past the face. A "not crossed"
+                # flight therefore lands strictly inside the cell whose
+                # majorant m it is rejection-tested against — testing a
+                # position already in the NEXT cell against this cell's m
+                # would overcount collisions wherever the neighbor is
+                # denser. The ε (progress guarantee at faces, where
+                # t_exit can round to 0) skips ≤ m·10⁻³·voxel of optical
+                # depth per crossing — bias bounded by ε, crossings only.
                 crossed = t_flight >= t_exit
-                t = jnp.minimum(t_flight, t_exit)
+                t = jnp.where(crossed, t_exit + 1e-3 * voxel_size,
+                              t_flight)
             else:
                 m = jnp.full((N,), beta_max)
                 crossed = jnp.zeros((N,), bool)

@@ -133,7 +133,8 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                     target = np.array([0.0, 0.0,
                                        z_center * target_z_scale])
                     if e_ms is not None and ms_calibrate_spp > 0:
-                        from .mc_reference import calibrate_ms_scale
+                        from .mc_reference import (calibrate_ms_scale,
+                                                   mc_view_seed)
                         cal_origin_km, _, cal_up = \
                             views[0].renderer_camera_km(0.0)
                         s, _ = calibrate_ms_scale(
@@ -142,8 +143,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                             resolution=resolution, sun_dir=sun, g=g,
                             e_ms=e_ms, t_sun=t_sun,
                             spp=ms_calibrate_spp,
-                            seed=(folder_idx * 8191 + n * 131)
-                            & 0x7FFFFFFF)
+                            seed=mc_view_seed(0, folder_idx, n, 0))
                         e_ms = e_ms * s
                         log(f"[render] {pkl_file}: ms scale {s:.3f}")
                     base = os.path.splitext(pkl_file)[0]
@@ -151,10 +151,9 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                         origin_km, _, up = view.renderer_camera_km(0.0)
                         origin = origin_km * 1000.0
                         if mc_spp > 0:
-                            from .mc_reference import mc_radiance
-                            seed = (mc_seed * 1000003
-                                    + folder_idx * 8191
-                                    + n * 131 + sat) & 0x7FFFFFFF
+                            from .mc_reference import (mc_radiance,
+                                                       mc_view_seed)
+                            seed = mc_view_seed(mc_seed, folder_idx, n, sat)
                             img = mc_radiance(
                                 scene, origin, target, up, fov_deg,
                                 resolution, sun, g=g, spp=mc_spp,
@@ -259,9 +258,9 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
                 cams.append((origin_km * 1000.0, target, up))
             mc_seeds = None
             if mc_spp > 0:
+                from .mc_reference import mc_view_seed
                 mc_seeds = np.array(
-                    [[(mc_seed * 1000003 + folder_idx * 8191
-                       + ni * 131 + sat) & 0x7FFFFFFF
+                    [[mc_view_seed(mc_seed, folder_idx, ni, sat)
                       for sat in range(len(views))]
                      for ni, _, _ in good], np.int32)
             try:

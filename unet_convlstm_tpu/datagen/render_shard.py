@@ -104,6 +104,14 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
         if ms_orders > 1:
             raise ValueError("mc_spp renders full multiple scattering "
                              "already; ms_orders > 1 is deterministic-only")
+        if ocean_albedo != 0.0:
+            raise ValueError("ocean_albedo is deterministic-only: the MC "
+                             "path tracer has no ocean-surface term — it "
+                             "would be silently dropped")
+        if camera_method != "auto":
+            raise ValueError("camera_method applies to the deterministic "
+                             "renderer; the MC path traces camera rays "
+                             "directly (no ortho composite exists)")
         if mc_seeds is None:
             raise ValueError("mc_seeds [B, V] is required with mc_spp")
         mc_seeds = jnp.asarray(mc_seeds, jnp.int32)

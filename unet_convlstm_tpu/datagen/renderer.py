@@ -101,6 +101,22 @@ def make_camera_rays(origin, target, up, fov_deg: float,
     return o, d
 
 
+def ray_aabb_interval(ro, rd, min_bound, max_bound):
+    """Slab-test entry/exit distances of rays [N, 3] against the AABB,
+    clamped to the forward half-line: returns ``(tmin, tmax)`` with
+    ``tmax > tmin`` iff the ray hits the box. Near-zero direction
+    components are replaced by +1e-9 (not ±inf) so the slab ordering
+    stays finite. Shared by the deterministic march (_render_impl) and
+    the MC path tracer (mc_reference.py) so their entry geometry is
+    provably identical."""
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+    t0 = (min_bound - ro) * inv_d
+    t1 = (max_bound - ro) * inv_d
+    tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), 0.0)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+    return tmin, tmax
+
+
 @partial(jax.jit, static_argnames=("n_steps",))
 def _sun_transmittance_impl(beta, voxel_size, min_bound, sun_dir, step,
                             n_steps):
@@ -500,11 +516,7 @@ def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
     ro = rays_o.reshape(-1, 3)
     rd = rays_d.reshape(-1, 3)
 
-    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
-    t0 = (min_bound - ro) * inv_d
-    t1 = (max_bound - ro) * inv_d
-    tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), 0.0)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+    tmin, tmax = ray_aabb_interval(ro, rd, min_bound, max_bound)
 
     cos_theta = jnp.sum(sun_dir * (-rd), axis=-1)
     phase = hg_phase(cos_theta, g)
