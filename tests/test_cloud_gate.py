@@ -36,6 +36,25 @@ def test_synthetic_clouds_have_learnable_structure(tmp_path):
     assert r > 0.5
 
 
+def test_cloud_gate_mc_renders_plumb(tmp_path):
+    """--mc-spp: stage B renders with the unbiased MC path tracer (the
+    volpath-class training distribution) and the rest of the gate
+    composes unchanged. Tiny geometry — this checks the plumbing and that
+    MC renders carry learnable signal, not convergence (the production MC
+    golden is results/cloud_synth_golden_r2_mc.json)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CloudGateConfig(), nz=8, nxy=16, n_folders=2, n_samples=4,
+        render_res=16, out_size=16, base_ch=4, epochs=2, batch_size=2,
+        mc_spp=4, mc_majorant_cell=4, render_batch_size=2,
+        mae_threshold=50.0)
+    res = run_cloud_gate(str(tmp_path / "gate"), cfg, verbose=False)
+    assert res["config"]["mc_spp"] == 4
+    assert res["config"]["render_batch_size"] == 2
+    assert res["passed"]
+
+
 @pytest.mark.slow
 def test_cloud_gate_reduced_geometry(tmp_path):
     """The CI-runnable gate: full B/C/D + training at reduced geometry

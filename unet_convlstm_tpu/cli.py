@@ -337,6 +337,11 @@ def cmd_cloud_gate(args):
     if args.ms_orders != 1 or args.ms_calibrate_spp:
         cfg = dataclasses.replace(cfg, ms_orders=args.ms_orders,
                                   ms_calibrate_spp=args.ms_calibrate_spp)
+    if args.mc_spp:
+        cfg = dataclasses.replace(cfg, mc_spp=args.mc_spp,
+                                  mc_majorant_cell=args.mc_majorant_cell)
+    if args.render_batch != 1:
+        cfg = dataclasses.replace(cfg, render_batch_size=args.render_batch)
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
     raise SystemExit(0 if res["passed"] else 1)
 
@@ -534,6 +539,16 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--ms-calibrate-spp", type=int, default=0,
                     help="stage-B MC energy calibration spp "
                          "(requires --ms-orders > 1)")
+    cg.add_argument("--mc-spp", type=int, default=0,
+                    help="stage B renders with the unbiased MC path "
+                         "tracer at this spp (the volpath-class training "
+                         "distribution; excludes --ms-orders)")
+    cg.add_argument("--mc-majorant-cell", type=int, default=16,
+                    help="MC: super-voxel majorant grid edge (voxels); "
+                         "only with --mc-spp (0 = global majorant)")
+    cg.add_argument("--render-batch", type=int, default=1,
+                    help="stage-B patches per dispatch (one vmapped SPMD "
+                         "program; amortizes dispatch on 1 chip)")
     cg.set_defaults(fn=cmd_cloud_gate)
 
     sv = sub.add_parser("serve",

@@ -69,6 +69,19 @@ class CloudGateConfig:
     # reference's volpath training distribution
     ms_orders: int = 1
     ms_calibrate_spp: int = 0
+    # mc_spp > 0 renders stage B with the unbiased Monte-Carlo path
+    # tracer itself (mc_reference.py) — training data of the SAME class
+    # as the reference's volpath spp-8192 renders (render_all.py:28-30),
+    # noise falling as 1/√spp. Mutually exclusive with ms_orders > 1
+    # (render_dataset raises). mc_majorant_cell > 0 turns on the
+    # super-voxel majorant grid (faster on dense-compact puffs; a dataset
+    # knob because it changes the RNG realization).
+    mc_spp: int = 0
+    mc_majorant_cell: int = 0
+    # render_batch_size > 1 renders that many patches per dispatch as one
+    # vmapped SPMD program (amortizes tunnel round-trips on 1 chip;
+    # shards over a mesh on real pods). Requires ms_calibrate_spp == 0.
+    render_batch_size: int = 1
 
 
 PRODUCTION = CloudGateConfig(
@@ -164,6 +177,9 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
                    resolution=(cfg.render_res,) * 2, fov_deg=fov,
                    voxel_size=cfg.voxel_size, ms_orders=cfg.ms_orders,
                    ms_calibrate_spp=cfg.ms_calibrate_spp,
+                   mc_spp=cfg.mc_spp,
+                   mc_majorant_cell=cfg.mc_majorant_cell,
+                   batch_size=cfg.render_batch_size,
                    verbose=verbose)
     build_velocity_maps(patches, os.path.join(work_dir, "maps"), csv,
                         mode="slice", resolution=(cfg.render_res,) * 2,
