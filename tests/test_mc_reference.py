@@ -369,3 +369,29 @@ def test_mc_view_seed_contract():
     seeds = {mc_view_seed(7, f, n, s)
              for f in range(40) for n in range(49) for s in range(2)}
     assert len(seeds) == 40 * 49 * 2
+
+
+def test_spp_chunking_samples_the_same_realization():
+    """spp_chunk splits the spp scan across dispatches but consumes the
+    SAME per-round keys in the same order — the sampled paths are
+    identical and only the final summation associates differently, so
+    chunked and monolithic renders agree to float round-off (this is what
+    makes it a kernel-duration knob rather than a dataset knob)."""
+    scene = _blob_scene()
+    mono = np.asarray(mc_radiance(scene, **_KW, spp=12, seed=7))
+    for chunk in (1, 5, 12):
+        part = np.asarray(mc_radiance(scene, **_KW, spp=12, seed=7,
+                                      spp_chunk=chunk))
+        np.testing.assert_allclose(part, mono, rtol=2e-6, atol=1e-8)
+    # and through the batched driver (render_views_batch mc_spp_chunk)
+    from unet_convlstm_tpu.datagen.render_shard import render_views_batch
+
+    beta_b = np.stack([np.asarray(scene.beta)] * 2)
+    views = [((0, 0, 20000.0), (0, 0, 240.0), (1.0, 0.0, 0.0))]
+    seeds = np.array([[3], [9]], np.int32)
+    kw = dict(voxel_size=20.0, fov_deg=1.2, resolution=(24, 24),
+              mc_spp=8, mc_seeds=seeds)
+    mono_b = render_views_batch(beta_b, views, _KW["sun_dir"], **kw)
+    chunk_b = render_views_batch(beta_b, views, _KW["sun_dir"],
+                                 mc_spp_chunk=3, **kw)
+    np.testing.assert_allclose(chunk_b, mono_b, rtol=2e-6, atol=1e-8)

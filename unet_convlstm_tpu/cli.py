@@ -182,6 +182,7 @@ def cmd_gen_renders(args):
                        mc_max_depth=args.mc_max_depth,
                        mc_seed=args.mc_seed,
                        mc_majorant_cell=args.mc_majorant_cell,
+                       mc_spp_chunk=args.mc_spp_chunk,
                        batch_size=batch, mesh=mesh)
     print(f"wrote {n} render pkls")
 
@@ -339,7 +340,8 @@ def cmd_cloud_gate(args):
                                   ms_calibrate_spp=args.ms_calibrate_spp)
     if args.mc_spp:
         cfg = dataclasses.replace(cfg, mc_spp=args.mc_spp,
-                                  mc_majorant_cell=args.mc_majorant_cell)
+                                  mc_majorant_cell=args.mc_majorant_cell,
+                                  mc_spp_chunk=args.mc_spp_chunk)
     if args.render_batch != 1:
         cfg = dataclasses.replace(cfg, render_batch_size=args.render_batch)
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
@@ -465,6 +467,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="MC: super-voxel majorant grid edge (voxels); "
                          "2.5x on dense-compact patches, changes the "
                          "RNG realization (0 = global majorant)")
+    gr.add_argument("--mc-spp-chunk", type=int, default=0,
+                    help="MC: samples per dispatch (same realization; "
+                         "bounds single-kernel device time; 0 = all spp "
+                         "in one dispatch)")
     gr.set_defaults(fn=cmd_gen_renders)
 
     gm = sub.add_parser("gen-maps", help="stage C: patches -> velocity maps")
@@ -546,6 +552,9 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--mc-majorant-cell", type=int, default=16,
                     help="MC: super-voxel majorant grid edge (voxels); "
                          "only with --mc-spp (0 = global majorant)")
+    cg.add_argument("--mc-spp-chunk", type=int, default=8,
+                    help="MC: samples per dispatch (bounds single-kernel "
+                         "device time; 0 = all spp in one dispatch)")
     cg.add_argument("--render-batch", type=int, default=1,
                     help="stage-B patches per dispatch (one vmapped SPMD "
                          "program; amortizes dispatch on 1 chip)")

@@ -89,12 +89,18 @@ def _sample_hg(key, d, g: float):
 DEFAULT_MAJORANT_CELL = 16  # super-voxel edge length (voxels)
 
 
-@partial(jax.jit, static_argnames=("resolution", "fov", "g", "spp",
+@partial(jax.jit, static_argnames=("resolution", "fov", "g",
                                    "max_depth", "majorant_cell"))
 def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                       origin, target, up, sun_dir, fov, resolution,
-                      g, albedo, irradiance, key, spp, max_depth,
+                      g, albedo, irradiance, keys, max_depth,
                       max_events, majorant_cell=0):
+    # ``keys`` is [spp, 2] — one PRNG key per sample round (the CALLER
+    # splits, so a chunked dispatch scanning a slice of the same key
+    # array samples the identical realization as one monolithic
+    # dispatch). Returns the SUM over rounds [spp, H·W]→[H, W]; callers
+    # divide by the total spp.
+    #
     # NB: max_events is a TRACED operand (it only feeds the while_loop
     # condition) — it is derived per patch from beta_max, and making it
     # static would recompile this whole tracer for nearly every patch in
@@ -220,9 +226,8 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
         L = jax.lax.while_loop(cond, body, state)[7]
         return acc + L, None
 
-    keys = jax.random.split(key, spp)
     total, _ = jax.lax.scan(one_sample, jnp.zeros(N), keys)
-    return (total / spp).reshape(H, W)
+    return total.reshape(H, W)
 
 
 def default_max_events(beta_max: float, diagonal: float,
@@ -250,7 +255,8 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                 t_sun: Optional[jax.Array] = None,
                 seed: int = 0,
                 max_events: Optional[int] = None,
-                majorant_cell: Optional[int] = None) -> jax.Array:
+                majorant_cell: Optional[int] = None,
+                spp_chunk: int = 0) -> jax.Array:
     """Monte-Carlo radiance view [H, W] — the unbiased counterpart of
     ``render_radiance`` (camera-side transport by delta-tracked path
     tracing instead of deterministic quadrature; same β field, same HG
@@ -271,7 +277,13 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     deepest-scattering lanes, which the grid cannot shorten, so its
     per-iteration overhead is pure loss. Measured at the production
     patch geometry: dense cumulus (β_max 0.15) 2.5× faster with the
-    grid, broad blob (β_max 0.01) 15% slower (docs/RENDERER.md)."""
+    grid, broad blob (β_max 0.01) 15% slower (docs/RENDERER.md).
+    ``spp_chunk`` > 0 splits the spp scan into ≤-that-size dispatches —
+    the SAME per-round keys are consumed in the same order, so the
+    sampled realization is identical to one monolithic dispatch (only
+    the final float summation associates differently); use it to bound
+    single-kernel device time (long lockstep programs can trip TPU
+    watchdog limits at production geometry). 0 = one dispatch."""
     sun = jnp.asarray(sun_dir, jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
     if t_sun is None:
@@ -284,14 +296,20 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
         max_events = default_max_events(
             float(np.max(np.asarray(scene.beta))), scene.diagonal,
             float(scene.voxel_size), majorant_cell)
-    return _mc_radiance_impl(
-        scene.beta, t_sun, scene.voxel_size,
-        jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),
-        jnp.asarray(origin, jnp.float32), jnp.asarray(target, jnp.float32),
-        jnp.asarray(up, jnp.float32), sun, float(fov_deg),
-        tuple(resolution), float(g), float(albedo), float(irradiance),
-        jax.random.PRNGKey(seed), int(spp), int(max_depth),
-        int(max_events), int(majorant_cell))
+    keys = jax.random.split(jax.random.PRNGKey(seed), int(spp))
+    args = (scene.beta, t_sun, scene.voxel_size,
+            jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),
+            jnp.asarray(origin, jnp.float32),
+            jnp.asarray(target, jnp.float32),
+            jnp.asarray(up, jnp.float32), sun, float(fov_deg),
+            tuple(resolution), float(g), float(albedo), float(irradiance))
+    tail = (int(max_depth), int(max_events), int(majorant_cell))
+    chunk = int(spp_chunk) or int(spp)
+    total = None
+    for c in range(0, int(spp), chunk):
+        part = _mc_radiance_impl(*args, keys[c:c + chunk], *tail)
+        total = part if total is None else total + part
+    return total / spp
 
 
 def calibrate_ms_scale(scene: VolumeScene, origin, target,

@@ -42,6 +42,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                    ms_orders: int = 1, ms_calibrate_spp: int = 0,
                    mc_spp: int = 0, mc_max_depth: int = 64,
                    mc_seed: int = 0, mc_majorant_cell: int = 0,
+                   mc_spp_chunk: int = 0,
                    batch_size: int = 1, mesh=None,
                    verbose: bool = True) -> int:
     """Render every patch in every numeric folder; returns pkls written.
@@ -94,7 +95,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
             input_root, output_root, csv_path, resolution, fov_deg, g,
             voxel_size, z_offset, target_z_scale, start, end, ms_orders,
             mc_spp, mc_max_depth, mc_seed, mc_majorant_cell,
-            batch_size, mesh, verbose)
+            mc_spp_chunk, batch_size, mesh, verbose)
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
     folders = enumerate_patch_folders(input_root, start, end)
@@ -159,7 +160,8 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                                 resolution, sun, g=g, spp=mc_spp,
                                 max_depth=mc_max_depth, t_sun=t_sun,
                                 seed=seed,
-                                majorant_cell=mc_majorant_cell)
+                                majorant_cell=mc_majorant_cell,
+                                spp_chunk=mc_spp_chunk)
                         else:
                             img = render_radiance(
                                 scene, origin, target, up, fov_deg,
@@ -196,7 +198,7 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
                             fov_deg, g, voxel_size, z_offset,
                             target_z_scale, start, end, ms_orders,
                             mc_spp, mc_max_depth, mc_seed,
-                            mc_majorant_cell,
+                            mc_majorant_cell, mc_spp_chunk,
                             batch_size, mesh, verbose) -> int:
     """Chunked/sharded body of render_dataset (batch_size > 1). With
     ``mc_spp`` > 0 the chunk path-traces as one vmapped SPMD program;
@@ -270,7 +272,8 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
                     resolution=resolution, g=g, ms_orders=ms_orders,
                     mc_spp=mc_spp, mc_max_depth=mc_max_depth,
                     mc_seeds=mc_seeds,
-                    mc_majorant_cell=mc_majorant_cell, mesh=mesh)
+                    mc_majorant_cell=mc_majorant_cell,
+                    mc_spp_chunk=mc_spp_chunk, mesh=mesh)
             except Exception as e:
                 log(f"[render] chunk failed in {folder}: {e}")
                 continue

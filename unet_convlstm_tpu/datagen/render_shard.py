@@ -65,6 +65,7 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
                        mc_seeds=None,
                        mc_max_events: Optional[int] = None,
                        mc_majorant_cell: int = 0,
+                       mc_spp_chunk: int = 0,
                        mesh: Optional[Mesh] = None) -> np.ndarray:
     """Render ``views`` of every volume in ``beta_batch`` → [B, V, H, W].
 
@@ -86,7 +87,11 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
     ``mc_majorant_cell`` > 0 enables the super-voxel majorant grid
     (mc_reference.py); it changes the sampled RNG sequence, so serial
     and batched runs must use the same value — the driver plumbs one
-    knob to both paths.
+    knob to both paths. ``mc_spp_chunk`` > 0 splits each view's spp
+    scan into ≤-that-size dispatches (same keys, same realization —
+    only float summation order changes) to bound single-kernel device
+    time: one vmapped path-tracing program over a whole chunk at full
+    spp can run minutes of device time and trip TPU watchdog limits.
     """
     if camera_method not in ("auto", "ortho", "march"):
         raise ValueError(f"unknown camera_method {camera_method!r}: "
@@ -162,18 +167,27 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
     for vi, (origin, target, up) in enumerate(views):
         if mc_spp > 0:
             from .mc_reference import _mc_radiance_impl
-            keys_v = jax.vmap(jax.random.PRNGKey)(mc_seeds[:, vi])
-            img = jax.vmap(lambda b, t, k: _mc_radiance_impl(
+            # [B, spp, 2]: per-patch key rounds, split ONCE from each
+            # patch's seed — chunked dispatches scan slices of the same
+            # array, so the realization matches the serial driver's
+            # regardless of mc_spp_chunk
+            keys_v = jax.vmap(lambda s: jax.random.split(
+                jax.random.PRNGKey(s), int(mc_spp)))(mc_seeds[:, vi])
+            f = jax.vmap(lambda b, t, k: _mc_radiance_impl(
                 b, t, voxel_size, min_b, max_b,
                 jnp.asarray(origin, jnp.float32),
                 jnp.asarray(target, jnp.float32),
                 jnp.asarray(up, jnp.float32),
                 jnp.asarray(sun, jnp.float32), float(fov_deg), res,
                 float(g), float(albedo), float(irradiance), k,
-                int(mc_spp), int(mc_max_depth), int(mc_max_events),
-                int(mc_majorant_cell)))(
-                beta_batch, t_sun, keys_v)
-            out.append(img)
+                int(mc_max_depth), int(mc_max_events),
+                int(mc_majorant_cell)))
+            chunk = int(mc_spp_chunk) or int(mc_spp)
+            img = None
+            for c in range(0, int(mc_spp), chunk):
+                part = f(beta_batch, t_sun, keys_v[:, c:c + chunk])
+                img = part if img is None else img + part
+            out.append(img / mc_spp)
             continue
         eligible, why = _ortho_eligibility(geom, origin, target, fov_deg,
                                            res, None)

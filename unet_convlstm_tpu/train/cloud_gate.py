@@ -78,6 +78,11 @@ class CloudGateConfig:
     # knob because it changes the RNG realization).
     mc_spp: int = 0
     mc_majorant_cell: int = 0
+    # samples per MC dispatch (mc_reference spp chunking): same
+    # realization, bounds single-kernel device time — one vmapped
+    # full-spp path-tracing program over a whole chunk can run
+    # minutes of device time and trip TPU watchdog limits
+    mc_spp_chunk: int = 8
     # render_batch_size > 1 renders that many patches per dispatch as one
     # vmapped SPMD program (amortizes tunnel round-trips on 1 chip;
     # shards over a mesh on real pods). Requires ms_calibrate_spp == 0.
@@ -173,14 +178,27 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     slice_h = cfg.nz * cfg.voxel_size * 0.5       # mid-cloud W slice
     # fov sized so the ~600 km nadir camera sees the whole patch
     fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
-    render_dataset(patches, os.path.join(work_dir, "renders"), csv,
-                   resolution=(cfg.render_res,) * 2, fov_deg=fov,
-                   voxel_size=cfg.voxel_size, ms_orders=cfg.ms_orders,
-                   ms_calibrate_spp=cfg.ms_calibrate_spp,
-                   mc_spp=cfg.mc_spp,
-                   mc_majorant_cell=cfg.mc_majorant_cell,
-                   batch_size=cfg.render_batch_size,
-                   verbose=verbose)
+    n_renders = render_dataset(
+        patches, os.path.join(work_dir, "renders"), csv,
+        resolution=(cfg.render_res,) * 2, fov_deg=fov,
+        voxel_size=cfg.voxel_size, ms_orders=cfg.ms_orders,
+        ms_calibrate_spp=cfg.ms_calibrate_spp,
+        mc_spp=cfg.mc_spp,
+        mc_majorant_cell=cfg.mc_majorant_cell,
+        mc_spp_chunk=cfg.mc_spp_chunk,
+        batch_size=cfg.render_batch_size,
+        verbose=verbose)
+    expected = cfg.n_folders * cfg.n_samples * 2
+    if n_renders == 0:
+        # the drivers isolate per-sample failures, so a total wipeout
+        # (e.g. a crashed TPU worker) must fail HERE with the cause, not
+        # as a FileNotFoundError three stages later
+        raise RuntimeError(
+            "stage B wrote no renders — every patch failed (see the "
+            "[render] log lines above for the per-sample errors)")
+    if verbose and n_renders < expected:
+        print(f"[cloud-gate] WARNING: stage B wrote {n_renders}/{expected} "
+              "renders; incomplete sequences are skipped downstream")
     build_velocity_maps(patches, os.path.join(work_dir, "maps"), csv,
                         mode="slice", resolution=(cfg.render_res,) * 2,
                         slice_height_m=slice_h,
