@@ -71,6 +71,23 @@ def test_rollout_cli(trained, npz_path, workdir):
     assert os.path.getsize(out) > 5000
 
 
+def test_evaluate_int8_cli(trained, npz_path, workdir):
+    """--int8 quantized inference through the evaluate surface: runs end
+    to end and the physical-unit metrics track the float run to int8
+    noise (the trained checkpoint's MAE is O(0.5) m/s here)."""
+    ref_dir, q_dir = str(workdir / "eval_f"), str(workdir / "eval_q")
+    ckpt = os.path.join(trained, "custom_best")
+    main(["evaluate", "--checkpoint", ckpt, "--npz", npz_path,
+          "--out-dir", ref_dir, "--batch-size", "4"])
+    main(["evaluate", "--checkpoint", ckpt, "--npz", npz_path,
+          "--out-dir", q_dir, "--batch-size", "4", "--int8"])
+    with open(os.path.join(ref_dir, "report.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(q_dir, "report.json")) as f:
+        q = json.load(f)
+    assert abs(q["mae"] - ref["mae"]) < 0.1 * max(ref["mae"], 0.1)
+
+
 def test_convert_checkpoint_to_torch_cli(trained, workdir):
     """Reverse migration: export a trained checkpoint to the reference's
     .pt format; the file must load as {model_state, config} and round-trip

@@ -1,0 +1,159 @@
+"""int8 post-training quantization (ops/quant.py).
+
+The reference has no quantized path; this is a TPU-native inference
+feature (v5e int8 MXU = 2x bf16 peak; the production forward pass is
+FLOP-bound, docs/PERF.md). Correctness contract: per-channel int8
+weights + dynamic per-tensor int8 activations track the float path to
+quantization noise, through single ops and the full model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_convlstm_tpu.core.dtypes import FP32_POLICY
+from unet_convlstm_tpu.ops.conv import (conv2d, conv2d_init,
+                                        conv_transpose2d,
+                                        conv_transpose2d_init)
+from unet_convlstm_tpu.ops.quant import quantize_conv_params, quantize_tree
+
+
+def _rel_l2(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
+
+
+def test_conv2d_int8_tracks_float():
+    rng = jax.random.PRNGKey(0)
+    p = conv2d_init(rng, 8, 16, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 12, 8))
+    ref = conv2d(p, x, policy=FP32_POLICY)
+    q = conv2d(quantize_conv_params(p), x, policy=FP32_POLICY)
+    assert q.dtype == ref.dtype
+    assert _rel_l2(q, ref) < 0.02          # int8 noise, not a wrong op
+
+
+def test_conv_transpose2d_int8_tracks_float():
+    rng = jax.random.PRNGKey(0)
+    p = conv_transpose2d_init(rng, 16, 8, 2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 16))
+    ref = conv_transpose2d(p, x, policy=FP32_POLICY)
+    q = conv_transpose2d(quantize_conv_params(p, out_axis=2), x,
+                         policy=FP32_POLICY)
+    assert q.shape == ref.shape
+    assert _rel_l2(q, ref) < 0.02
+
+
+def test_per_channel_scales_beat_per_tensor():
+    """The point of per-output-channel scales: a kernel whose channels
+    differ by 100x in magnitude must still quantize each one finely."""
+    rng = jax.random.PRNGKey(0)
+    p = conv2d_init(rng, 4, 8, 3)
+    w = np.array(p["w"])
+    w[..., ::2] *= 100.0                   # half the channels huge
+    p = {"w": jnp.asarray(w), "b": p["b"]}
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 10, 10, 4))
+    ref = conv2d(p, x, policy=FP32_POLICY)
+    q = conv2d(quantize_conv_params(p), x, policy=FP32_POLICY)
+    # small channels keep their own resolution
+    assert _rel_l2(q[..., 1::2], ref[..., 1::2]) < 0.02
+
+
+def test_quantize_tree_full_model_forward():
+    """quantize_tree rewrites every conv kernel (incl. the 'up' transposed
+    kernels on their axis-2 layout) and the untouched model apply runs the
+    int8 path end-to-end, tracking the float forward."""
+    rng = jax.random.PRNGKey(0)
+    from unet_convlstm_tpu.models.temporal_unet import (
+        TemporalUNetConfig, temporal_unet_apply, temporal_unet_init)
+
+    cfg = TemporalUNetConfig(base_ch=4, use_skip_lstm=True,
+                             use_attention=True)
+    variables = temporal_unet_init(rng, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 2, 32, 32, 2))
+    ref, _, _ = temporal_unet_apply(variables, x, cfg, train=False,
+                                    policy=FP32_POLICY)
+    qv = quantize_tree(variables)
+    q, _, _ = temporal_unet_apply(qv, x, cfg, train=False,
+                                  policy=FP32_POLICY)
+    assert q.shape == ref.shape
+    # tanh/sigmoid gates + BN keep ranges benign; int8 noise stays small
+    assert _rel_l2(q, ref) < 0.06
+
+    # every conv kernel was rewritten; originals untouched
+    leaves = jax.tree_util.tree_leaves_with_path(qv["params"])
+    n_q = sum(1 for path, leaf in leaves
+              if path[-1].key == "w_q" and leaf.dtype == jnp.int8)
+    n_w4 = sum(1 for path, leaf in
+               jax.tree_util.tree_leaves_with_path(variables["params"])
+               if path[-1].key == "w" and leaf.ndim == 4)
+    assert n_q == n_w4 > 0
+    assert not any(path[-1].key == "w" and leaf.ndim == 4
+                   for path, leaf in leaves)
+    # transposed kernels (under 'up') scale along their axis-2 out channel
+    def find(node, key):
+        if isinstance(node, dict):
+            if key in node:
+                yield node[key]
+            for v in node.values():
+                yield from find(v, key)
+    up = next(iter(find(qv["params"], "up")))
+    assert up["w_s"].shape == (up["w_q"].shape[2],)
+
+
+def test_quantized_streaming_matches_quantized_full():
+    """The O(1)-per-frame streaming carry works unchanged on a quantized
+    model (the serving path, serve.py). NOTE the tolerance: activation
+    scales are DYNAMIC per dispatched tensor, so the batched-over-T full
+    pass shares one scale across frames while streaming rescales per
+    frame — outputs agree to requantization noise (≲1e-3 rel, well under
+    the int8 step 1/127), not bitwise like the float path."""
+    rng = jax.random.PRNGKey(0)
+    from unet_convlstm_tpu.models.temporal_unet import (
+        TemporalUNetConfig, temporal_unet_apply, temporal_unet_init,
+        temporal_unet_init_state)
+
+    cfg = TemporalUNetConfig(base_ch=4, use_skip_lstm=True)
+    qv = quantize_tree(temporal_unet_init(rng, cfg))
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 16, 16, 2))
+    full, _, _ = temporal_unet_apply(qv, x, cfg, train=False,
+                                     policy=FP32_POLICY)
+    state = temporal_unet_init_state(cfg, 1, 16, 16)
+    outs = []
+    for t in range(3):
+        y, state, _ = temporal_unet_apply(qv, x[:, t:t + 1], cfg,
+                                          train=False, state=state,
+                                          policy=FP32_POLICY)
+        outs.append(y)
+    np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(full),
+                               rtol=6e-3, atol=6e-4)
+
+
+def test_quantized_eval_metrics_close_to_float(tmp_path):
+    """User surface: evaluate a (tiny, briefly trained) checkpoint with
+    --int8 — physical-unit metrics must track the float metrics."""
+    rng = jax.random.PRNGKey(0)
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.eval.metrics import evaluate_model
+    from unet_convlstm_tpu.models.temporal_unet import (
+        TemporalUNetConfig, temporal_unet_apply, temporal_unet_init)
+
+    npz = save_moving_mnist_npz(str(tmp_path / "mm.npz"), seq_len=3,
+                                num_samples=12, image_size=32,
+                                num_digits=1, seed=0, as_xy=True)
+    ds = NPZSequenceDataset(npz)
+    cfg = TemporalUNetConfig(base_ch=4)
+    variables = temporal_unet_init(rng, cfg)
+
+    def apply_fn(v, x, train=False, state=None, mutable=False):
+        return temporal_unet_apply(v, x, cfg, train=train, state=state,
+                                   policy=FP32_POLICY)
+
+    ref = evaluate_model(apply_fn, variables, ds, batch_size=4)
+    q = evaluate_model(apply_fn, quantize_tree(variables), ds, batch_size=4)
+    # untrained net: outputs are small; quantized metrics stay in family
+    assert abs(q.mae - ref.mae) < 0.05 * max(ref.mae, 1.0)
+    assert abs(q.rmse - ref.rmse) < 0.05 * max(ref.rmse, 1.0)

@@ -81,6 +81,9 @@ def cmd_evaluate(args):
 
     variables, apply_fn, _, meta, norm_stats = _load_checkpoint_for_eval(
         args.checkpoint)
+    if args.int8:
+        from .ops.quant import quantize_tree
+        variables = quantize_tree(variables)
     dataset = NPZSequenceDataset(args.npz, stats=norm_stats)
     indices = None
     if args.split == "all":
@@ -112,6 +115,9 @@ def cmd_rollout(args):
 
     variables, apply_fn, init_state, meta, norm_stats = (
         _load_checkpoint_for_eval(args.checkpoint))
+    if args.int8:
+        from .ops.quant import quantize_tree
+        variables = quantize_tree(variables)
     dataset = NPZSequenceDataset(args.npz, stats=norm_stats)
     x_raw, y_raw = dataset.get_batch_raw(np.array([args.sequence_idx]))
     s = dataset.stats
@@ -364,7 +370,8 @@ def cmd_serve(args):
     if args.warmup:
         b, h, w = (int(v) for v in args.warmup.split("x"))
         warmup = (b, h, w)
-    run_server(args.checkpoint, args.host, args.port, warmup=warmup)
+    run_server(args.checkpoint, args.host, args.port, warmup=warmup,
+               int8=args.int8)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -391,6 +398,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch-size", type=int, default=8)
     e.add_argument("--use-mask", action="store_true")
     e.add_argument("--split", choices=["val", "all"], default="val")
+    e.add_argument("--int8", action="store_true",
+                   help="post-training int8 inference (ops/quant.py): "
+                        "int8 MXU convs, ~2x batch throughput where bf16 "
+                        "saturates the MXU; metrics shift by quantization "
+                        "noise only")
     e.set_defaults(fn=cmd_evaluate)
 
     r = sub.add_parser("rollout", help="rollout video (reference test.py)")
@@ -401,6 +413,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--fps", type=int, default=2)
     r.add_argument("--csv", default=None, help="overpass CSV for geometry")
     r.add_argument("--pdf-dir", default=None)
+    r.add_argument("--int8", action="store_true",
+                   help="post-training int8 inference (see evaluate)")
     r.set_defaults(fn=cmd_rollout)
 
     o = sub.add_parser("overfit",
@@ -568,6 +582,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--warmup", default=None, metavar="BxHxW",
                     help="pre-compile for a geometry, e.g. 1x64x64")
+    sv.add_argument("--int8", action="store_true",
+                    help="post-training int8 inference (see evaluate)")
     sv.set_defaults(fn=cmd_serve)
     return p
 

@@ -28,6 +28,11 @@ class Policy:
         return x.astype(self.compute_dtype)
 
     def cast_param(self, p):
+        # integer leaves (int8 quantized kernels, ops/quant.py) keep their
+        # dtype — casting them to the float compute dtype would silently
+        # dequantize without the scale
+        if not jnp.issubdtype(p.dtype, jnp.floating):
+            return p
         return p.astype(self.compute_dtype)
 
     def cast_output(self, y):

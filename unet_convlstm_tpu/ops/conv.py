@@ -66,7 +66,15 @@ def conv2d_init(key, in_ch: int, out_ch: int, kernel_size: int = 3,
 
 def conv2d(params, x, stride: int = 1, padding="SAME",
            policy: Policy = DEFAULT_POLICY):
-    """NHWC conv. ``padding`` is "SAME", "VALID" or explicit [(lo,hi),(lo,hi)]."""
+    """NHWC conv. ``padding`` is "SAME", "VALID" or explicit [(lo,hi),(lo,hi)].
+
+    Params holding an int8-quantized kernel (``"w_q"``/``"w_s"`` from
+    ops/quant.quantize_tree) dispatch to the int8 MXU path — model code
+    is identical for float and quantized inference."""
+    if "w_q" in params:
+        from .quant import conv2d_int8
+        return conv2d_int8(params, x, stride, padding,
+                           out_dtype=policy.compute_dtype)
     w = policy.cast_param(params["w"])
     x = policy.cast_input(x)
     if isinstance(padding, int):
@@ -110,6 +118,10 @@ def conv_transpose2d(params, x, stride: int = 2,
                      policy: Policy = DEFAULT_POLICY):
     """Transposed conv, NHWC. For kernel=stride=2 / padding 0 this exactly
     doubles H and W (matches torch ConvTranspose2d(k=2, s=2))."""
+    if "w_q" in params:
+        from .quant import conv_transpose2d_int8
+        return conv_transpose2d_int8(params, x, stride,
+                                     out_dtype=policy.compute_dtype)
     w = policy.cast_param(params["w"])
     x = policy.cast_input(x)
     # transpose_kernel=True: w is the HWIO kernel of the corresponding

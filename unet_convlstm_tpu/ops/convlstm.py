@@ -153,7 +153,8 @@ def convlstm(params, x_seq: jax.Array,
     num_layers = len(params)
     T, B, H, W, _ = x_seq.shape
     if hidden_dim is None:
-        hidden_dim = params["layer0"]["conv"]["w"].shape[-1] // 4
+        c0 = params["layer0"]["conv"]
+        hidden_dim = c0.get("w", c0.get("w_q")).shape[-1] // 4
     if state is None:
         # h in the compute dtype (bandwidth), c in the accumulation dtype
         # (f32 — recurrence drift in bf16 compounds over T steps).
@@ -177,12 +178,22 @@ def convlstm(params, x_seq: jax.Array,
         layer_params = jax.lax.optimization_barrier(
             jax.tree_util.tree_map(policy.cast_param, params[f"layer{l}"]))
 
-        w = layer_params["conv"]["w"]          # [kh, kw, Cin+hidden, 4*hidden]
-        in_dim = w.shape[2] - hidden_dim
-        w_x_bytes = w.shape[0] * w.shape[1] * in_dim * w.shape[3] * itemsize
-        gate_step_bytes = (B * H * W * 4 * hidden_dim) * itemsize
+        if "w_q" in layer_params["conv"]:
+            # int8-quantized cell (ops/quant.py): the hoist below slices
+            # the float kernel, so quantized inference always runs the
+            # fused concat([x, h]) conv — conv2d dispatches to the int8
+            # path; per-step weight re-reads are half the bf16 bytes
+            # anyway, which is what the hoist existed to reduce.
+            hoist = False
+        else:
+            w = layer_params["conv"]["w"]      # [kh, kw, Cin+hidden, 4*hidden]
+            in_dim = w.shape[2] - hidden_dim
+            w_x_bytes = (w.shape[0] * w.shape[1] * in_dim * w.shape[3]
+                         * itemsize)
+            gate_step_bytes = (B * H * W * 4 * hidden_dim) * itemsize
+            hoist = _hoist_input_projection(w_x_bytes, gate_step_bytes)
 
-        if _hoist_input_projection(w_x_bytes, gate_step_bytes):
+        if hoist:
             # Split the gate conv: the input half runs ONCE over all T*B
             # frames (weights read once, MXU-batched); only the recurrent
             # half stays in the scan. conv is linear in input channels, so

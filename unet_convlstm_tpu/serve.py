@@ -53,7 +53,8 @@ class StreamingPredictor:
     """Checkpoint-backed stateful streaming inference engine."""
 
     def __init__(self, checkpoint_path: str,
-                 denormalize_output: bool = True):
+                 denormalize_output: bool = True,
+                 int8: bool = False):
         import jax.numpy as jnp  # noqa: F401  (fail early if jax broken)
 
         from .models.registry import build_model
@@ -67,6 +68,13 @@ class StreamingPredictor:
         self._apply_fn = apply_fn
         self._init_state = init_state
         self.variables = {"params": state["params"], "stats": state["stats"]}
+        if int8:
+            # post-training int8 (ops/quant.py): conv kernels + dynamic
+            # activation quant run on the int8 MXU — up to ~2x batch
+            # inference throughput where bf16 saturates the MXU
+            from .ops.quant import quantize_tree
+            self.variables = quantize_tree(self.variables)
+        self.int8 = int8
         if "norm_stats" not in meta:
             raise ValueError(
                 "checkpoint has no normalization manifest (norm_stats) — "
@@ -255,8 +263,9 @@ def serve_http(predictor: StreamingPredictor, host: str = "127.0.0.1",
 
 
 def run_server(checkpoint: str, host: str, port: int,
-               warmup: Optional[Tuple[int, int, int]] = None):
-    predictor = StreamingPredictor(checkpoint)
+               warmup: Optional[Tuple[int, int, int]] = None,
+               int8: bool = False):
+    predictor = StreamingPredictor(checkpoint, int8=int8)
     if warmup:
         print(f"warmup compile {warmup} ...")
         predictor.warmup(*warmup)
