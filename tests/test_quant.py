@@ -157,3 +157,60 @@ def test_quantized_eval_metrics_close_to_float(tmp_path):
     # untrained net: outputs are small; quantized metrics stay in family
     assert abs(q.mae - ref.mae) < 0.05 * max(ref.mae, 1.0)
     assert abs(q.rmse - ref.rmse) < 0.05 * max(ref.rmse, 1.0)
+
+
+def test_quantized_model_under_default_bf16_policy():
+    """The production inference path (--int8 under the default bf16
+    policy): the ConvLSTM stack must keep the f32 dequant scales intact
+    (skipping the layer-wide compute-dtype cast) and the fused-DoubleConv
+    flag must fall through to the unfused int8 path instead of KeyError."""
+    from unet_convlstm_tpu.core.dtypes import DEFAULT_POLICY
+    from unet_convlstm_tpu.models.temporal_unet import (
+        TemporalUNetConfig, temporal_unet_apply, temporal_unet_init)
+
+    cfg = TemporalUNetConfig(base_ch=4, use_skip_lstm=True)
+    variables = temporal_unet_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 2, 32, 32, 2))
+    ref, _, _ = temporal_unet_apply(variables, x, cfg, train=False,
+                                    policy=FP32_POLICY)
+    qv = quantize_tree(variables)
+    q, _, _ = temporal_unet_apply(qv, x, cfg, train=False,
+                                  policy=DEFAULT_POLICY)
+    assert _rel_l2(q, ref) < 0.08          # int8 + bf16-activation noise
+    qf, _, _ = temporal_unet_apply(qv, x, cfg, train=False,
+                                   policy=DEFAULT_POLICY,
+                                   use_fused_doubleconv=True)
+    np.testing.assert_array_equal(np.asarray(qf), np.asarray(q))
+
+
+def test_quantized_wrong_axis_fails_loudly():
+    """A transposed (HWOI) kernel quantized as a regular conv must raise,
+    not silently dequantize with wrong per-channel factors."""
+    p = conv_transpose2d_init(jax.random.PRNGKey(0), 16, 8, 2)
+    bad = quantize_conv_params(p)          # wrong: axis 3 (= input chans)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 16))
+    with pytest.raises(ValueError, match="out_axis=2"):
+        conv_transpose2d(bad, x, policy=FP32_POLICY)
+
+
+def test_chunked_mc_sum_balances_compile_shapes():
+    """Chunk sizes are balanced so the jitted tracer sees at most two key
+    shapes — often one (12@8 → 6+6, not 8+4 which would recompile for
+    the remainder)."""
+    from unet_convlstm_tpu.datagen.mc_reference import chunked_mc_sum
+
+    calls = []
+
+    def run(c, n):
+        calls.append((c, n))
+        return n
+
+    assert chunked_mc_sum(run, 12, 8) == 12
+    assert [n for _, n in calls] == [6, 6]
+    assert [c for c, _ in calls] == [0, 6]
+    calls.clear()
+    chunked_mc_sum(run, 20, 8)
+    assert [n for _, n in calls] == [7, 7, 6]
+    calls.clear()
+    chunked_mc_sum(run, 8, 0)
+    assert [n for _, n in calls] == [8]

@@ -230,6 +230,30 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
     return total.reshape(H, W)
 
 
+def chunked_mc_sum(run, spp: int, chunk: int):
+    """Accumulate ``run(start, size)`` partial sums over ``spp`` sample
+    rounds in dispatches of ≈``chunk`` rounds (0 = one dispatch). THE
+    chunking contract, shared by the serial (mc_radiance) and batched
+    (render_shard.render_views_batch) paths: the caller's pre-split key
+    array is consumed in the same order regardless of chunking, so the
+    sampled realization is identical — only the final float summation
+    associates differently. Chunk sizes are balanced (sizes differ by at
+    most 1), so the jitted tracer compiles for at most TWO distinct key
+    shapes per run — often one (e.g. spp 12, chunk 8 → 6+6, not 8+4) —
+    instead of a fresh remainder shape."""
+    spp = int(spp)
+    chunk = int(chunk) or spp
+    n = -(-spp // chunk)
+    base, extra = divmod(spp, n)
+    total, c = None, 0
+    for i in range(n):
+        size = base + (1 if i < extra else 0)
+        part = run(c, size)
+        c += size
+        total = part if total is None else total + part
+    return total
+
+
 def default_max_events(beta_max: float, diagonal: float,
                        voxel_size: float,
                        majorant_cell: int = 0) -> int:
@@ -304,11 +328,9 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
             jnp.asarray(up, jnp.float32), sun, float(fov_deg),
             tuple(resolution), float(g), float(albedo), float(irradiance))
     tail = (int(max_depth), int(max_events), int(majorant_cell))
-    chunk = int(spp_chunk) or int(spp)
-    total = None
-    for c in range(0, int(spp), chunk):
-        part = _mc_radiance_impl(*args, keys[c:c + chunk], *tail)
-        total = part if total is None else total + part
+    total = chunked_mc_sum(
+        lambda c, n: _mc_radiance_impl(*args, keys[c:c + n], *tail),
+        int(spp), int(spp_chunk))
     return total / spp
 
 

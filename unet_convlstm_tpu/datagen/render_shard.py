@@ -182,11 +182,10 @@ def render_views_batch(beta_batch, views: Sequence[Tuple], sun_dir,
                 float(g), float(albedo), float(irradiance), k,
                 int(mc_max_depth), int(mc_max_events),
                 int(mc_majorant_cell)))
-            chunk = int(mc_spp_chunk) or int(mc_spp)
-            img = None
-            for c in range(0, int(mc_spp), chunk):
-                part = f(beta_batch, t_sun, keys_v[:, c:c + chunk])
-                img = part if img is None else img + part
+            from .mc_reference import chunked_mc_sum
+            img = chunked_mc_sum(
+                lambda c, n: f(beta_batch, t_sun, keys_v[:, c:c + n]),
+                int(mc_spp), int(mc_spp_chunk))
             out.append(img / mc_spp)
             continue
         eligible, why = _ortho_eligibility(geom, origin, target, fov_deg,

@@ -46,6 +46,11 @@ def double_conv_init(key, in_ch: int, out_ch: int):
 def double_conv(params, stats, x, train: bool,
                 policy: Policy = DEFAULT_POLICY,
                 fused: bool = False) -> Tuple[jax.Array, dict]:
+    if fused and "w_q" in params["conv1"]:
+        # int8-quantized checkpoint (ops/quant.py): the Pallas fused
+        # kernel is a float kernel — fall through to the unfused path,
+        # whose conv2d dispatches to the int8 MXU ops transparently
+        fused = False
     if fused:
         from .pallas.doubleconv_fused import fits_fused_conv3x3
         x_c = policy.cast_input(x)

@@ -170,22 +170,26 @@ def convlstm(params, x_seq: jax.Array,
     new_states: List[Carry] = []
     itemsize = jnp.dtype(policy.compute_dtype).itemsize
     for l in range(num_layers):
-        # Hoist the param f32→bf16 cast out of the scan: without the
-        # optimization barrier XLA re-materializes the cast of the (large)
-        # gate kernel inside EVERY unrolled step (measured: ~5.7 ms/step of
-        # redundant weight-cast traffic at the bench config — the
-        # bottleneck cell kernel alone is 19M params).
-        layer_params = jax.lax.optimization_barrier(
-            jax.tree_util.tree_map(policy.cast_param, params[f"layer{l}"]))
-
-        if "w_q" in layer_params["conv"]:
-            # int8-quantized cell (ops/quant.py): the hoist below slices
-            # the float kernel, so quantized inference always runs the
-            # fused concat([x, h]) conv — conv2d dispatches to the int8
-            # path; per-step weight re-reads are half the bf16 bytes
-            # anyway, which is what the hoist existed to reduce.
+        if "w_q" in params[f"layer{l}"]["conv"]:
+            # int8-quantized cell (ops/quant.py): skip the compute-dtype
+            # cast entirely — w_q is integer and the f32 per-channel
+            # dequant scales w_s (and bias) must NOT round to bf16. The
+            # hoist below slices the float kernel, so quantized inference
+            # always runs the fused concat([x, h]) conv — conv2d
+            # dispatches to the int8 path; per-step weight re-reads are
+            # half the bf16 bytes anyway, which is what the hoist existed
+            # to reduce.
+            layer_params = params[f"layer{l}"]
             hoist = False
         else:
+            # Hoist the param f32→bf16 cast out of the scan: without the
+            # optimization barrier XLA re-materializes the cast of the
+            # (large) gate kernel inside EVERY unrolled step (measured:
+            # ~5.7 ms/step of redundant weight-cast traffic at the bench
+            # config — the bottleneck cell kernel alone is 19M params).
+            layer_params = jax.lax.optimization_barrier(
+                jax.tree_util.tree_map(policy.cast_param,
+                                       params[f"layer{l}"]))
             w = layer_params["conv"]["w"]      # [kh, kw, Cin+hidden, 4*hidden]
             in_dim = w.shape[2] - hidden_dim
             w_x_bytes = (w.shape[0] * w.shape[1] * in_dim * w.shape[3]

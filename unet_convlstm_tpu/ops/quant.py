@@ -82,6 +82,14 @@ def conv2d_int8(params: dict, x: jax.Array, stride: int = 1,
                 out_dtype=jnp.float32) -> jax.Array:
     """int8 NHWC conv: dynamic per-tensor activation quant, int32 MXU
     accumulation, per-channel dequant. Output in ``out_dtype``."""
+    if params["w_s"].shape[0] != params["w_q"].shape[3]:
+        raise ValueError(
+            f"w_s has {params['w_s'].shape[0]} scales but the HWIO kernel "
+            f"has {params['w_q'].shape[3]} output channels — was a "
+            "transposed (HWOI) kernel quantized as a regular conv? "
+            "quantize_tree identifies transposed kernels by their 'up' "
+            "block key (ops/blocks.py::up_init); kernels stored elsewhere "
+            "need quantize_conv_params(out_axis=2) explicitly")
     x_q, x_s = _quantize_act(x)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
@@ -103,6 +111,11 @@ def conv_transpose2d_int8(params: dict, x: jax.Array, stride: int = 2,
                           out_dtype=jnp.float32) -> jax.Array:
     """int8 transposed conv (kernel in the HWOI gradient-of-conv layout,
     matching ops/conv.conv_transpose2d)."""
+    if params["w_s"].shape[0] != params["w_q"].shape[2]:
+        raise ValueError(
+            f"w_s has {params['w_s'].shape[0]} scales but the HWOI kernel "
+            f"has {params['w_q'].shape[2]} output channels — quantize "
+            "transposed kernels with quantize_conv_params(out_axis=2)")
     x_q, x_s = _quantize_act(x)
     y = lax.conv_transpose(
         x_q, params["w_q"],
