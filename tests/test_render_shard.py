@@ -209,8 +209,9 @@ def test_velocity_maps_batched_matches_serial(tmp_path, mode):
 
 def test_driver_batched_isolates_corrupt_sample(tmp_path):
     """A corrupt pkl inside a chunk drops that sample only; a chunk whose
-    loadable patches disagree on shape drops that CHUNK only (the serial
-    path's per-sample isolation, lifted to the batch granularity)."""
+    loadable patches disagree on shape renders each shape as its own
+    sub-chunk — every loadable patch renders, matching the serial path's
+    per-sample isolation exactly."""
     from unet_convlstm_tpu.datagen.render_batch import render_dataset
 
     in_root = tmp_path / "patches"
@@ -226,12 +227,13 @@ def test_driver_batched_isolates_corrupt_sample(tmp_path):
     n = render_dataset(str(in_root), str(tmp_path / "out"), str(csv_path),
                        resolution=(16, 16), fov_deg=0.01, batch_size=3,
                        verbose=False)
-    # chunk 1 = samples 0,2 (1 corrupt) -> renders; chunk 2 = samples 3,4
-    # (mixed shapes) -> skipped whole
-    assert n == 2 * 2
+    # chunk 1 = samples 0,2 (1 corrupt dropped); chunk 2 = samples 3,4
+    # (mixed shapes -> two same-shape sub-chunks, both render)
+    assert n == 4 * 2
     files = sorted(os.listdir(tmp_path / "out" / "0000000001"))
-    assert not any("sample_001" in f or "sample_003" in f
-                   or "sample_004" in f for f in files)
+    assert not any("sample_001" in f for f in files)
+    assert any("sample_003" in f for f in files)
+    assert any("sample_004" in f for f in files)
 
 
 def test_velocity_maps_batched_rejects_bad_mode_before_io(tmp_path):

@@ -151,6 +151,80 @@ def test_render_batch_driver(tmp_path):
     assert np.isfinite(d["render"]).all()
 
 
+def test_render_batch_corrupt_pkl_isolates_one_sample(tmp_path):
+    """Serial stage-B per-sample isolation (render_all.py:194-195): one
+    corrupt pkl must cost exactly that sample — the prefetch future must
+    be resubmitted even when the current one failed, or every later patch
+    in the folder re-raises the same error (a silent mass skip)."""
+    from unet_convlstm_tpu.datagen.render_batch import render_dataset
+    in_root = tmp_path / "patches"
+    (in_root / "0000000001").mkdir(parents=True)
+    beta = np.zeros((10, 16, 16), np.float32)
+    beta[4:8, 4:12, 4:12] = 0.05
+    patch = {"beta_ext": beta, "U": beta, "V": beta, "W": beta}
+    for name in ("sample_000.pkl", "sample_002.pkl"):
+        with open(in_root / "0000000001" / name, "wb") as f:
+            pickle.dump(patch, f)
+    (in_root / "0000000001" / "sample_001.pkl").write_bytes(b"corrupt")
+    csv_text = (
+        "utc time,sun zenith [deg],sun azimuth [deg],sat zenith [deg],"
+        "sat azimuth [deg],scattering angle [deg],"
+        "sat ENU coordinates [km],lookat ENU coordinates [km]\n"
+        '0,145.0,32.6,53.8,168.3,131.5,"[-747.0, 154.9, 558.6]","[0, 0, 0]"\n')
+    csv_path = tmp_path / "overpass.csv"
+    csv_path.write_text(csv_text)
+    n = render_dataset(str(in_root), str(tmp_path / "renders"),
+                       str(csv_path), resolution=(16, 16), fov_deg=0.01,
+                       verbose=False)
+    assert n == 2                       # 000 and 002 rendered, 001 skipped
+    files = sorted(os.listdir(tmp_path / "renders" / "0000000001"))
+    assert files == ["sample_000_time_0_view_0.pkl",
+                     "sample_002_time_0_view_0.pkl"]
+
+
+def test_render_batch_mixed_shapes_lose_only_their_own(tmp_path):
+    """Batched stage B groups a chunk by volume shape: one odd-shaped
+    patch must not drop the whole chunk (the serial driver would have
+    rendered the others)."""
+    from unet_convlstm_tpu.datagen.render_batch import render_dataset
+    in_root = tmp_path / "patches"
+    (in_root / "0000000001").mkdir(parents=True)
+    beta = np.zeros((10, 16, 16), np.float32)
+    beta[4:8, 4:12, 4:12] = 0.05
+    for i, b in enumerate([beta, beta[:8], beta]):   # middle one truncated
+        with open(in_root / "0000000001" / f"sample_{i:03d}.pkl",
+                  "wb") as f:
+            pickle.dump({"beta_ext": b}, f)
+    csv_text = (
+        "utc time,sun zenith [deg],sun azimuth [deg],sat zenith [deg],"
+        "sat azimuth [deg],scattering angle [deg],"
+        "sat ENU coordinates [km],lookat ENU coordinates [km]\n"
+        '0,145.0,32.6,53.8,168.3,131.5,"[-747.0, 154.9, 558.6]","[0, 0, 0]"\n')
+    csv_path = tmp_path / "overpass.csv"
+    csv_path.write_text(csv_text)
+    n = render_dataset(str(in_root), str(tmp_path / "renders"),
+                       str(csv_path), resolution=(16, 16), fov_deg=0.01,
+                       batch_size=3, verbose=False)
+    assert n == 3                       # every patch rendered, 2 sub-chunks
+    files = sorted(os.listdir(tmp_path / "renders" / "0000000001"))
+    assert len(files) == 3
+
+
+def test_patch_folders_sort_numerically(tmp_path):
+    """Unpadded numeric folders must enumerate in NUMERIC order (the
+    reference sorts numerically in stages A and D; a lexicographic '10'
+    before '2' would swap cyclic-time camera/sun assignments)."""
+    from unet_convlstm_tpu.datagen.overpass import enumerate_patch_folders
+    for name in ("0", "1", "2", "10", "11"):
+        (tmp_path / name).mkdir()
+    out = enumerate_patch_folders(str(tmp_path))
+    assert [f for _, f in out] == ["0", "1", "2", "10", "11"]
+    assert [i for i, _ in out] == [0, 1, 2, 3, 4]
+    # bounded runs keep FULL-list positions (resume parity)
+    out = enumerate_patch_folders(str(tmp_path), start=2, end=10)
+    assert out == [(2, "2"), (3, "10")]
+
+
 def test_ocean_albedo_adds_background():
     """Legacy ocean surface (render_from_udi_class.py:223-234): downward
     rays that miss the cloud pick up sun-lit surface radiance."""

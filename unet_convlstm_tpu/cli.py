@@ -517,7 +517,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target channels: one or more of w/u/v; 'wvu' "
                          "builds the 3-channel target "
                          "(build_WVU_maps.py:161-174)")
-    gs.add_argument("--map-suffix", default="slice_1000m")
+    gs.add_argument("--map-suffix", default="slice_1500m",
+                    help="suffix of the stage-C map pkls; the "
+                         "default matches gen-maps' default "
+                         "--slice-height 1500")
     gs.set_defaults(fn=cmd_gen_sequences)
 
     st = sub.add_parser("stats", help="dataset stats (get_data_min_max)")

@@ -312,14 +312,18 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     sun = sun / jnp.linalg.norm(sun)
     if t_sun is None:
         t_sun = sun_transmittance(scene, np.asarray(sun))
-    if majorant_cell is None:
+    if majorant_cell is None or max_events is None:
+        # one device->host pull of beta, shared by both derivations
+        # (callers looping views over one patch should pass max_events
+        # themselves — render_batch does)
         beta_max = float(np.max(np.asarray(scene.beta)))
+    if majorant_cell is None:
         majorant_cell = (DEFAULT_MAJORANT_CELL
                          if beta_max * scene.diagonal >= 128.0 else 0)
     if max_events is None:
         max_events = default_max_events(
-            float(np.max(np.asarray(scene.beta))), scene.diagonal,
-            float(scene.voxel_size), majorant_cell)
+            beta_max, scene.diagonal, float(scene.voxel_size),
+            majorant_cell)
     keys = jax.random.split(jax.random.PRNGKey(seed), int(spp))
     args = (scene.beta, t_sun, scene.voxel_size,
             jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),

@@ -97,9 +97,15 @@ def enumerate_patch_folders(input_root: str, start=None, end=None
     with the same geometry as a full run (reference render_all.py:80-90
     keeps original_start_idx for the same reason). Single source for the
     serial and batched stage-B/C drivers."""
-    all_folders = sorted(f for f in os.listdir(input_root)
-                         if os.path.isdir(os.path.join(input_root, f))
-                         and f.isdigit())
+    # NUMERIC sort: the reference sorts folders numerically in stage A
+    # (preprocessing.py:106) and stage D (build_sequences.py:52); its
+    # stage-B plain sorted() only agrees because names are zero-padded.
+    # key=int keeps all stages consistent on unpadded trees too (a
+    # lexicographic '10' < '2' here would render folder 10 with folder
+    # 2's cyclic timestamp — silently scrambled camera/sun geometry).
+    all_folders = sorted((f for f in os.listdir(input_root)
+                          if os.path.isdir(os.path.join(input_root, f))
+                          and f.isdigit()), key=int)
     return [(i, f) for i, f in enumerate(all_folders)
             if (start is None or int(f) >= start)
             and (end is None or int(f) <= end)]

@@ -101,6 +101,12 @@ def _first_hit_impl(beta, u, v, w, voxel_size, min_bound, max_bound,
     ro = rays_o.reshape(-1, 3)
     rd = rays_d.reshape(-1, 3)
 
+    # NOT renderer.ray_aabb_interval: this replicates the reference's own
+    # slab test BIT-FOR-BIT, additive epsilon included
+    # (build_W_map.py:110 ``1.0 / (rays_d_flat + 1e-6)`` — which flips the
+    # sign of direction components in (-1e-6, 0)). The oracle-parity
+    # tests (test_first_hit_matches_reference etc.) pin this behavior;
+    # do not "fix" it to the renderer's guarded form.
     inv_d = 1.0 / (rd + 1e-6)
     t0 = (min_bound - ro) * inv_d
     t1 = (max_bound - ro) * inv_d

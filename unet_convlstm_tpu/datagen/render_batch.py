@@ -116,11 +116,17 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
             future = (pool.submit(_load_patch, os.path.join(in_dir, pkls[0]))
                       if pkls else None)
             for n, pkl_file in enumerate(pkls):
+                # resubmit the NEXT load before consuming the current
+                # future: doing it inside the try meant one corrupt pkl
+                # left the failed future in place, and every later patch
+                # in the folder re-raised the same error (mass skip with
+                # misattributed logs) instead of per-sample isolation
+                current = future
+                if n + 1 < len(pkls):
+                    future = pool.submit(
+                        _load_patch, os.path.join(in_dir, pkls[n + 1]))
                 try:
-                    patch = future.result()
-                    if n + 1 < len(pkls):
-                        future = pool.submit(
-                            _load_patch, os.path.join(in_dir, pkls[n + 1]))
+                    patch = current.result()
                     scene = VolumeScene(np.asarray(patch["beta_ext"],
                                                    np.float32),
                                         voxel_size, z_offset)
@@ -148,6 +154,17 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                         e_ms = e_ms * s
                         log(f"[render] {pkl_file}: ms scale {s:.3f}")
                     base = os.path.splitext(pkl_file)[0]
+                    mc_me = None
+                    if mc_spp > 0:
+                        # per PATCH, not per view: the lockstep bound only
+                        # depends on the volume, and deriving it inside
+                        # mc_radiance would pull the (device-resident)
+                        # beta back to host once per view
+                        from .mc_reference import default_max_events
+                        mc_me = default_max_events(
+                            float(np.max(patch["beta_ext"])),
+                            scene.diagonal, float(voxel_size),
+                            mc_majorant_cell)
                     for sat, view in enumerate(views):
                         origin_km, _, up = view.renderer_camera_km(0.0)
                         origin = origin_km * 1000.0
@@ -159,7 +176,7 @@ def render_dataset(input_root: str, output_root: str, csv_path: str,
                                 scene, origin, target, up, fov_deg,
                                 resolution, sun, g=g, spp=mc_spp,
                                 max_depth=mc_max_depth, t_sun=t_sun,
-                                seed=seed,
+                                seed=seed, max_events=mc_me,
                                 majorant_cell=mc_majorant_cell,
                                 spp_chunk=mc_spp_chunk)
                         else:
@@ -205,8 +222,6 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
     seeds match the serial driver's per-(folder, patch, view) derivation,
     so serial and batched MC datasets are identical whenever the
     chunk-conservative lockstep bound doesn't bind (it's a safety net)."""
-    from .render_shard import render_views_batch
-
     log = print if verbose else (lambda *a, **k: None)
     times, schedule = camera_schedule(read_overpass_csv(csv_path))
     folders = enumerate_patch_folders(input_root, start, end)
@@ -214,7 +229,7 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
     log(f"[render] {len(folders)} folders × views; res={resolution}; "
         f"batch={batch_size} over {ndev} device(s)")
 
-    written = 0
+    counter = [0]
     pool = ThreadPoolExecutor(max_workers=1)
     try:
         # flat chunk list so the IO prefetch spans folder boundaries
@@ -246,49 +261,73 @@ def _render_dataset_batched(input_root, output_root, csv_path, resolution,
             t = times[folder_idx % len(times)]
             views = schedule[t]
             sun = sun_direction(views[0].sun_zenith, views[0].sun_azimuth)
-            try:
-                beta_b = np.stack([b for _, _, b in good])
-            except Exception as e:  # e.g. mixed patch shapes in one chunk
-                log(f"[render] chunk failed in {folder}: {e}")
-                continue
-            nz = beta_b.shape[1]
-            z_center = z_offset + nz * voxel_size / 2.0
-            target = np.array([0.0, 0.0, z_center * target_z_scale])
-            cams = []
-            for view in views:
-                origin_km, _, up = view.renderer_camera_km(0.0)
-                cams.append((origin_km * 1000.0, target, up))
-            mc_seeds = None
-            if mc_spp > 0:
-                from .mc_reference import mc_view_seed
-                mc_seeds = np.array(
-                    [[mc_view_seed(mc_seed, folder_idx, ni, sat)
-                      for sat in range(len(views))]
-                     for ni, _, _ in good], np.int32)
-            try:
-                imgs = render_views_batch(
-                    beta_b, cams, sun, voxel_size=voxel_size,
-                    z_offset=z_offset, fov_deg=fov_deg,
-                    resolution=resolution, g=g, ms_orders=ms_orders,
-                    mc_spp=mc_spp, mc_max_depth=mc_max_depth,
-                    mc_seeds=mc_seeds,
-                    mc_majorant_cell=mc_majorant_cell,
-                    mc_spp_chunk=mc_spp_chunk, mesh=mesh)
-            except Exception as e:
-                log(f"[render] chunk failed in {folder}: {e}")
-                continue
-            out_dir = os.path.join(output_root, folder)
-            os.makedirs(out_dir, exist_ok=True)
-            for bi, (_, name, _) in enumerate(good):
-                base = os.path.splitext(name)[0]
-                for sat in range(len(views)):
-                    out = f"{base}_time_{int(t)}_view_{sat}.pkl"
-                    with open(os.path.join(out_dir, out), "wb") as f:
-                        pickle.dump({"render": imgs[bi, sat],
-                                     "timestamp": int(t),
-                                     "satellite_idx": sat}, f)
-                    written += 1
+            # group by volume shape so one odd-shaped patch (e.g. a
+            # truncated edge patch) costs only its own group, not the
+            # whole chunk — the serial driver renders each patch
+            # independently and batched must not lose more than it does
+            groups = {}
+            for item in good:
+                groups.setdefault(item[2].shape, []).append(item)
+            if len(groups) > 1:
+                log(f"[render] {folder}: chunk holds {len(groups)} patch "
+                    "shapes; rendering each shape as its own sub-chunk")
+            for chunk_good in groups.values():
+                _render_chunk_group(
+                    chunk_good, folder_idx, folder, t, views, sun,
+                    output_root, resolution, fov_deg, g, voxel_size,
+                    z_offset, target_z_scale, ms_orders, mc_spp,
+                    mc_max_depth, mc_seed, mc_majorant_cell,
+                    mc_spp_chunk, mesh, log, counter)
     finally:
         pool.shutdown(wait=False)
-    log(f"[render] wrote {written} pkls")
-    return written
+    log(f"[render] wrote {counter[0]} pkls")
+    return counter[0]
+
+
+def _render_chunk_group(good, folder_idx, folder, t, views, sun,
+                        output_root, resolution, fov_deg, g, voxel_size,
+                        z_offset, target_z_scale, ms_orders, mc_spp,
+                        mc_max_depth, mc_seed, mc_majorant_cell,
+                        mc_spp_chunk, mesh, log, counter) -> None:
+    """Render one same-shape group of a chunk and write its pkls
+    (counter[0] accumulates across groups/chunks)."""
+    from .render_shard import render_views_batch
+
+    beta_b = np.stack([b for _, _, b in good])
+    nz = beta_b.shape[1]
+    z_center = z_offset + nz * voxel_size / 2.0
+    target = np.array([0.0, 0.0, z_center * target_z_scale])
+    cams = []
+    for view in views:
+        origin_km, _, up = view.renderer_camera_km(0.0)
+        cams.append((origin_km * 1000.0, target, up))
+    mc_seeds = None
+    if mc_spp > 0:
+        from .mc_reference import mc_view_seed
+        mc_seeds = np.array(
+            [[mc_view_seed(mc_seed, folder_idx, ni, sat)
+              for sat in range(len(views))]
+             for ni, _, _ in good], np.int32)
+    try:
+        imgs = render_views_batch(
+            beta_b, cams, sun, voxel_size=voxel_size,
+            z_offset=z_offset, fov_deg=fov_deg,
+            resolution=resolution, g=g, ms_orders=ms_orders,
+            mc_spp=mc_spp, mc_max_depth=mc_max_depth,
+            mc_seeds=mc_seeds,
+            mc_majorant_cell=mc_majorant_cell,
+            mc_spp_chunk=mc_spp_chunk, mesh=mesh)
+    except Exception as e:
+        log(f"[render] chunk failed in {folder}: {e}")
+        return
+    out_dir = os.path.join(output_root, folder)
+    os.makedirs(out_dir, exist_ok=True)
+    for bi, (_, name, _) in enumerate(good):
+        base = os.path.splitext(name)[0]
+        for sat in range(len(views)):
+            out = f"{base}_time_{int(t)}_view_{sat}.pkl"
+            with open(os.path.join(out_dir, out), "wb") as f:
+                pickle.dump({"render": imgs[bi, sat],
+                             "timestamp": int(t),
+                             "satellite_idx": sat}, f)
+            counter[0] += 1

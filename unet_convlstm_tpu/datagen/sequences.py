@@ -44,7 +44,7 @@ def _area_resize_np(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
 
 
 def _find_file(folder: str, sample_idx: int, view_idx: Optional[int] = None,
-               map_suffix: str = "slice_1000m") -> Optional[str]:
+               map_suffix: str = "slice_1500m") -> Optional[str]:
     """Reference file-name contract (build_sequences.py:27-39)."""
     sid = f"sample_{sample_idx:03d}"
     if view_idx is None:
@@ -59,7 +59,7 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
                                output_path: str, seq_len: int = 12,
                                num_samples: int = 49,
                                map_type: str = "w",
-                               map_suffix: str = "slice_1000m",
+                               map_suffix: str = "slice_1500m",
                                out_size: Tuple[int, int] = (128, 128),
                                max_chunks: Optional[int] = None,
                                verbose: bool = True) -> Optional[str]:
@@ -131,7 +131,8 @@ def build_trajectory_sequences(root_images: str, root_maps: str,
                 Y_list.append(np.stack(ys))
 
     if not X_list:
-        log("[sequences] no valid sequences")
+        log("[sequences] no valid sequences — check that map_suffix matches the\n"
+            f"[sequences]   stage-C output files (looked for *_{map_suffix}.pkl)")
         return None
     X = np.stack(X_list)
     Y = np.stack(Y_list)

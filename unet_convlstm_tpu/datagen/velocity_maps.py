@@ -147,16 +147,22 @@ def _build_velocity_maps_batched(input_root, output_root, csv_path, mode,
                 try:  # per-sample isolation (build_WVU_maps.py:176-177)
                     with open(os.path.join(in_dir, pkl_file), "rb") as f:
                         patch = pickle.load(f)
-                    good.append((pkl_file,
-                                 VolumeGrid.from_patch_dict(patch)))
+                    # keep volumes as NUMPY here: from_patch_dict
+                    # would upload each patch to device just so np.stack
+                    # can pull them all back — triple PCIe traffic on the
+                    # hot batch path; pad_and_shard uploads the stack once
+                    good.append((pkl_file, VolumeGrid(
+                        np.asarray(patch["beta_ext"], np.float32),
+                        np.asarray(patch["U"], np.float32),
+                        np.asarray(patch["V"], np.float32),
+                        np.asarray(patch["W"], np.float32))))
                 except Exception as e:
                     log(f"[velocity_maps] failed {pkl_file}: {e}")
             if not good:
                 continue
             g0 = good[0][1]
             try:
-                stacks = [jnp.asarray(np.stack([getattr(g, k)
-                                                for _, g in good]))
+                stacks = [np.stack([getattr(g, k) for _, g in good])
                           for k in ("beta", "u", "v", "w")]
             except Exception as e:  # e.g. mixed patch shapes in one chunk
                 log(f"[velocity_maps] chunk failed in {folder}: {e}")
