@@ -110,3 +110,30 @@ def test_convert_checkpoint_to_torch_cli(trained, workdir):
     orig = np.asarray(state["params"]["outc"]["w"], np.float32)
     np.testing.assert_array_equal(
         np.asarray(back["params"]["outc"]["w"], np.float32), orig)
+
+
+def test_override_bool_for_untyped_model_keys():
+    """model.freeze_encoder=false must become the BOOLEAN False even
+    though the default model dict has no such key — a truthy 'false'
+    string would freeze the encoder the user explicitly unfroze."""
+    from unet_convlstm_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig().apply_overrides(
+        {"model.type": "resnet18", "model.freeze_encoder": "false"})
+    assert cfg.model["freeze_encoder"] is False
+    cfg = TrainConfig().apply_overrides({"model.freeze_encoder": "true"})
+    assert cfg.model["freeze_encoder"] is True
+
+
+def test_registry_freeze_fallback_reaches_optimizer_mask():
+    """When no ImageNet weights exist, the registry falls back to
+    freeze_encoder=False — and the optimizer's trainable mask must see
+    that RESOLVED decision, not re-derive 'freeze' from the raw request
+    (which silently froze a random encoder)."""
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.train.loop import _trainable_mask
+
+    cfg_dict = {"type": "resnet18", "lstm_layers": 1}
+    build_model(cfg_dict)      # resolves freeze (no .pth in this image)
+    assert cfg_dict["freeze_encoder"] is False
+    assert _trainable_mask({"encoder": {"w": None}}, cfg_dict) is None

@@ -70,3 +70,26 @@ def test_cloud_gate_reduced_geometry(tmp_path):
         f"best val MAE {res['best_val_mae']:.3f} above threshold "
         f"{res['mae_threshold']}")
     assert res["best_val_mae"] <= res["final_val_mae"] + 1e-9
+
+
+def test_judge_history_survives_guard_rows():
+    """Guard-event rows carry no val_mae (train/loop.py rollback rows);
+    the gate verdict must judge completed epochs only instead of crashing
+    on the exact event the guard exists to survive."""
+    from unet_convlstm_tpu.train.cloud_gate import judge_history
+
+    hist = [
+        {"epoch": 1, "val_mae": 2.0, "val_rmse": 3.0},
+        {"epoch": 2, "lr": 1e-3, "guard_event": "val spiked"},
+        {"epoch": 3, "val_mae": 0.5, "val_rmse": 1.0},
+        {"epoch": 4, "lr": 5e-4, "guard_event": "nan loss"},
+    ]
+    res = judge_history(hist, mae_threshold=1.0)
+    assert res["best_epoch"] == 3
+    assert res["best_val_mae"] == 0.5
+    assert res["final_val_mae"] == 0.5      # last COMPLETED epoch
+    assert res["passed"] and res["improved"]
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="guard"):
+        judge_history([{"epoch": 1, "guard_event": "x"}], 1.0)

@@ -78,3 +78,25 @@ def test_elastic_resume_across_mesh_sizes(setup):
     # noise only; bf16 policy -> loose-ish tolerance)
     assert r2["history"][0]["val_loss"] == pytest.approx(
         r3["history"][0]["val_loss"], rel=2e-2)
+
+
+def test_resume_past_horizon_keeps_newer_checkpoint(setup):
+    """Resuming a checkpoint whose epoch already exceeds cfg.epochs runs
+    zero epochs — and must NOT overwrite the newer _last checkpoint with
+    a smaller epoch stamp (the next resume would silently replay finished
+    epochs against already-advanced weights)."""
+    import json
+
+    root, dataset = setup
+    cfg = _cfg(root, "", "h")
+    fit(cfg, dataset=dataset, verbose=False)          # epochs 1-2
+    last = os.path.join(cfg.checkpoint_dir, "custom_last")
+    with open(os.path.join(last, "meta.json")) as f:
+        assert json.load(f)["epoch"] == 2
+
+    cfg2 = _cfg(root, "", "h")
+    cfg2.epochs = 1                                    # horizon < resumed
+    r = fit(cfg2, dataset=dataset, verbose=False, resume_from=last)
+    assert r["history"] == []                          # nothing ran
+    with open(os.path.join(last, "meta.json")) as f:
+        assert json.load(f)["epoch"] == 2              # not regressed to 1

@@ -167,3 +167,42 @@ def test_concurrent_sessions_race_free(checkpoint):
     for i in range(4):
         np.testing.assert_allclose(results[i], refs[i],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_http_malformed_requests_are_400(checkpoint):
+    """Missing body fields / headers are client errors (400), not 404 —
+    404 is reserved for unknown sessions and routes."""
+    ckpt, _ = checkpoint
+    pred = StreamingPredictor(ckpt)
+    server = serve_http(pred, "127.0.0.1", 0)
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/session",
+                     body=json.dumps({"batch": 1, "height": 32}))
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "width" in json.loads(r.read())["error"]
+        conn.request("POST", "/v1/predict/nosuch", body=b"")
+        assert conn.getresponse().status == 400    # no X-Shape header
+    finally:
+        server.shutdown()
+
+
+def test_session_state_dtypes_match_step_output(checkpoint):
+    """open_session aligns the carry dtypes with what the step returns
+    (h in the compute dtype), so the first and every later predict share
+    ONE compiled signature — a warmed server must not recompile on its
+    second request."""
+    import jax
+
+    ckpt, _ = checkpoint
+    pred = StreamingPredictor(ckpt)
+    sid = pred.open_session(1, 32, 32)
+    before = jax.tree_util.tree_map(
+        lambda a: a.dtype, pred._sessions[sid].state)
+    x = np.zeros((1, 1, 32, 32, 2), np.float32)
+    pred.predict(sid, x)
+    after = jax.tree_util.tree_map(
+        lambda a: a.dtype, pred._sessions[sid].state)
+    assert before == after

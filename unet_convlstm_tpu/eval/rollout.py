@@ -19,31 +19,50 @@ single ``lax.scan`` dispatch.
 
 from __future__ import annotations
 
-import weakref
+from collections import OrderedDict
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-_STEP_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = \
-    weakref.WeakKeyDictionary()
-_SCAN_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = \
-    weakref.WeakKeyDictionary()
+# Bounded LRU keyed by id(apply_fn), holding (apply_fn, jitted) pairs. NOT
+# a WeakKeyDictionary: the jitted closure references apply_fn, and a weak
+# dict holds strong refs to its VALUES, so value→closure→key kept every
+# entry immortal — the weak design never evicted anything. The strong ref
+# stored alongside also guarantees the id key can't be recycled while the
+# entry lives. Bound of 8 distinct models covers any realistic process;
+# eviction drops the jit wrapper and its compiled executables.
+_CACHE_LIMIT = 8
+_STEP_CACHE: "OrderedDict[int, Tuple[Callable, Callable]]" = OrderedDict()
+_SCAN_CACHE: "OrderedDict[int, Tuple[Callable, Callable]]" = OrderedDict()
+
+
+def _cached_jit(cache: OrderedDict, apply_fn: Callable,
+                build: Callable) -> Callable:
+    entry = cache.get(id(apply_fn))
+    if entry is not None and entry[0] is apply_fn:
+        cache.move_to_end(id(apply_fn))
+        return entry[1]
+    fn = build()
+    cache[id(apply_fn)] = (apply_fn, fn)
+    while len(cache) > _CACHE_LIMIT:
+        cache.popitem(last=False)
+    return fn
 
 
 def _streaming_step(apply_fn: Callable) -> Callable:
-    """One jitted single-frame step per apply_fn for the process lifetime:
-    a second rollout with the same model+shapes is dispatch-only."""
-    step = _STEP_CACHE.get(apply_fn)
-    if step is None:
+    """One jitted single-frame step per live apply_fn: a second rollout
+    with the same model+shapes is dispatch-only."""
+    def build():
         @jax.jit
         def step(variables, x_t, state):
             y_t, new_state, _ = apply_fn(variables, x_t, state=state,
                                          train=False)
             return y_t, new_state
 
-        _STEP_CACHE[apply_fn] = step
-    return step
+        return step
+
+    return _cached_jit(_STEP_CACHE, apply_fn, build)
 
 
 def rollout_streaming(apply_fn: Callable, variables, x_seq: jax.Array,
@@ -80,8 +99,7 @@ def rollout_scan(apply_fn: Callable, variables, x_seq: jax.Array,
     if state is None:
         state = init_state_fn(B, H, W)
 
-    scan_fn = _SCAN_CACHE.get(apply_fn)
-    if scan_fn is None:
+    def build():
         @jax.jit
         def scan_fn(variables, x_seq, state):
             def body(st, x_t):
@@ -93,12 +111,14 @@ def rollout_scan(apply_fn: Callable, variables, x_seq: jax.Array,
             # Align carry dtypes: zero-init states are f32 while the step
             # emits the policy's h dtype (bf16) — cast once before the scan.
             out_st = jax.eval_shape(lambda s: body(s, xs[0])[0], state)
-            state = jax.tree_util.tree_map(
+            state_c = jax.tree_util.tree_map(
                 lambda s, t: s.astype(t.dtype), state, out_st)
-            final, ys = jax.lax.scan(body, state, xs)
+            final, ys = jax.lax.scan(body, state_c, xs)
             return jnp.moveaxis(ys, 0, 1), final
 
-        _SCAN_CACHE[apply_fn] = scan_fn
+        return scan_fn
+
+    scan_fn = _cached_jit(_SCAN_CACHE, apply_fn, build)
     return scan_fn(variables, x_seq, state)
 
 

@@ -70,6 +70,11 @@ def _build_resnet18(cfg_dict: Dict[str, Any]):
             "reference's frozen-ImageNet configuration.",
             stacklevel=2)
         freeze = False
+    # record the RESOLVED decision in the caller's dict: the optimizer's
+    # trainable-mask (train/loop.py) and the checkpoint-embedded config
+    # must see what actually ran, not the pre-fallback request — otherwise
+    # AdamW would freeze the RANDOM encoder this guard just refused to
+    cfg_dict["freeze_encoder"] = freeze
 
     cfg = ResNetUNetConfig(
         out_channels=cfg_dict.get("out_channels", 1),

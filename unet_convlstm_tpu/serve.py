@@ -110,12 +110,36 @@ class StreamingPredictor:
 
     # -- session management -------------------------------------------------
 
+    def _input_channels(self) -> int:
+        if self.model_cfg.get("type", "custom") == "custom":
+            return 2 * self.model_cfg.get("in_channels_per_sat", 1)
+        return self.model_cfg.get("in_channels", 2)
+
     def open_session(self, batch: int, height: int, width: int) -> str:
+        import jax
+        import jax.numpy as jnp
+
         sid = uuid.uuid4().hex[:16]
+        state = self._init_state(batch, height, width)
+        # Align the carry dtypes with what the step RETURNS (zero-init is
+        # f32 but the model carries h in the compute dtype): without this
+        # the first predict compiles an f32-state signature and the
+        # SECOND predict of every session recompiles for the bf16 one —
+        # a warmed server would still stall on its second live request.
+        try:
+            dummy = jax.ShapeDtypeStruct(
+                (batch, 1, height, width, self._input_channels()),
+                jnp.float32)
+            out_state = jax.eval_shape(
+                lambda v, x, st: self._step(v, x, st)[1],
+                self.variables, dummy, state)
+            state = jax.tree_util.tree_map(
+                lambda a, t: a.astype(t.dtype), state, out_state)
+        except Exception:
+            pass  # alignment is an optimization; never block a session
         with self._sessions_lock:
             self._sessions[sid] = _Session(batch, height, width,
-                                           state=self._init_state(
-                                               batch, height, width))
+                                           state=state)
         return sid
 
     def close_session(self, sid: str) -> bool:
@@ -213,12 +237,22 @@ def _make_handler(predictor: StreamingPredictor):
             try:
                 if self.path == "/v1/session":
                     req = json.loads(self._read_body() or b"{}")
+                    missing = [k for k in ("batch", "height", "width")
+                               if k not in req]
+                    if missing:
+                        self._json(400, {"error": "missing field(s): "
+                                         + ", ".join(missing)})
+                        return
                     sid = predictor.open_session(
                         int(req["batch"]), int(req["height"]),
                         int(req["width"]))
                     self._json(200, {"session_id": sid})
                 elif self.path.startswith("/v1/predict/"):
                     sid = self.path.rsplit("/", 1)[-1]
+                    if self.headers.get("X-Shape") is None:
+                        self._json(400,
+                                   {"error": "missing X-Shape header"})
+                        return
                     shape = tuple(int(v) for v in
                                   self.headers["X-Shape"].split(","))
                     frames = np.frombuffer(
@@ -236,6 +270,8 @@ def _make_handler(predictor: StreamingPredictor):
                 else:
                     self._json(404, {"error": "not found"})
             except KeyError as e:
+                # with request fields validated above, a KeyError can only
+                # be predictor.predict's unknown-session lookup
                 self._json(404, {"error": str(e)})
             except Exception as e:  # client errors surface as 400s
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})

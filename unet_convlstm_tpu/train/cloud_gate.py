@@ -234,35 +234,49 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
                   f"at threshold {cfg.mask_threshold}")
     res = fit(tc, dataset=ds, verbose=verbose)
     hist = res["history"]
-    final_mae = float(hist[-1]["val_mae"])
-    first_mae = float(hist[0]["val_mae"])
-    # judge the BEST-val epoch: the reference's workflow checkpoints best
-    # val only (main.py:306-323) and evaluates that checkpoint
-    # (get_metrics.py:67) — the deployable model is the best epoch, and a
-    # transient late-epoch spike (train/guard.py docs) should not fail the
-    # pipeline the way a real convergence failure must
-    best = min(hist, key=lambda h: float(h["val_mae"]))
-    best_mae = float(best["val_mae"])
-    result = {
-        "config": {k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
-        "best_val_mae": best_mae,
-        "best_val_rmse": float(best["val_rmse"]),
-        "best_epoch": int(best["epoch"]),
-        "final_val_mae": final_mae,
-        "final_val_rmse": float(hist[-1]["val_rmse"]),
-        "first_epoch_val_mae": first_mae,
-        "improved": best_mae < first_mae,
-        "mae_threshold": cfg.mae_threshold,
-        "passed": best_mae < cfg.mae_threshold and best_mae < first_mae,
-        "wall_s": time.time() - t0,
-        "history": hist,
-    }
+    # guard-event rows (train/loop.py rollback bookkeeping) carry no
+    result = judge_history(hist, cfg.mae_threshold)
+    result["config"] = {k: getattr(cfg, k)
+                        for k in cfg.__dataclass_fields__}
+    result["wall_s"] = time.time() - t0
     if out_json:
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)
     if verbose:
-        print(f"[cloud-gate] val MAE {first_mae:.3f} -> best {best_mae:.3f}"
-              f" @ep{best['epoch']} (final {final_mae:.3f}, threshold "
+        print(f"[cloud-gate] val MAE {result['first_epoch_val_mae']:.3f} "
+              f"-> best {result['best_val_mae']:.3f}"
+              f" @ep{result['best_epoch']} "
+              f"(final {result['final_val_mae']:.3f}, threshold "
               f"{cfg.mae_threshold}) "
               f"{'PASSED' if result['passed'] else 'FAILED'}")
     return result
+
+
+def judge_history(hist, mae_threshold: float) -> dict:
+    """Gate verdict over a fit() history. Guard-event rows (train/loop.py
+    rollback bookkeeping) carry no val_mae; judge only completed-epoch
+    rows, else one transient spike — the survivable event the guard
+    exists for — crashes the gate instead of being ridden out. The BEST
+    val epoch is judged, matching the reference's best-checkpoint
+    deployment semantics (main.py:306-323, get_metrics.py:67)."""
+    metric_rows = [h for h in hist if "val_mae" in h]
+    if not metric_rows:
+        raise RuntimeError(
+            "training produced no completed-epoch metrics (every epoch "
+            "was a guard rollback) — see guard_events in the history")
+    final_mae = float(metric_rows[-1]["val_mae"])
+    first_mae = float(metric_rows[0]["val_mae"])
+    best = min(metric_rows, key=lambda h: float(h["val_mae"]))
+    best_mae = float(best["val_mae"])
+    return {
+        "best_val_mae": best_mae,
+        "best_val_rmse": float(best["val_rmse"]),
+        "best_epoch": int(best["epoch"]),
+        "final_val_mae": final_mae,
+        "final_val_rmse": float(metric_rows[-1]["val_rmse"]),
+        "first_epoch_val_mae": first_mae,
+        "improved": best_mae < first_mae,
+        "mae_threshold": mae_threshold,
+        "passed": best_mae < mae_threshold and best_mae < first_mae,
+        "history": hist,
+    }

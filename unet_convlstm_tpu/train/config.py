@@ -90,6 +90,10 @@ class TrainConfig:
             elif old is None:
                 if val.lower() in ("none", "null"):
                     tgt[parts[-1]] = None
+                elif val.lower() in ("true", "false", "yes", "no"):
+                    # model.freeze_encoder=false etc.: keys absent from the
+                    # default dict must not silently become truthy strings
+                    tgt[parts[-1]] = val.lower() in ("true", "yes")
                 else:
                     try:
                         tgt[parts[-1]] = int(val)

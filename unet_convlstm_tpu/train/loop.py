@@ -189,6 +189,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     model_name = cfg.model.get("type", "custom")
     history = []
     n_epochs = epochs if epochs is not None else cfg.epochs
+    last_completed = start_epoch - 1   # advanced per healthy epoch
     global_step = 0
     trace_active = False
 
@@ -299,6 +300,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             lr = scheduler.step(val_loss)
             state["opt_state"] = set_learning_rate(state["opt_state"], lr)
 
+            last_completed = epoch
             row = {"epoch": epoch, "lr": lr, "train_loss": tr_loss,
                    "val_loss": val_loss, "train_time_s": tr_time,
                    **{f"train_{k}": v for k, v in tr.items()},
@@ -352,13 +354,21 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             except Exception as e:
                 log(f"[profiler] stop failed: {e}")
 
-    if cfg.checkpoint_dir:
+    if cfg.checkpoint_dir and last_completed >= start_epoch:
+        # stamp the last COMPLETED epoch, never the requested horizon: a
+        # resume whose start exceeds cfg.epochs runs zero epochs, and
+        # overwriting the newer checkpoint with a smaller epoch number
+        # would silently replay finished epochs on the next resume
         meta = {"config": cfg.to_dict(), "val_loss": best_val,
-                "epoch": n_epochs, "norm_stats": dataset.stats.to_dict(),
+                "epoch": last_completed,
+                "norm_stats": dataset.stats.to_dict(),
                 "scheduler": scheduler.state_dict()}
         if guard is not None:
             meta["guard"] = guard.state_dict()
         save_checkpoint(cfg.checkpoint_dir, f"{model_name}_last", state,
                         meta, wait=True)
+    elif cfg.checkpoint_dir:
+        log(f"no epochs ran (resumed at {start_epoch}, horizon "
+            f"{n_epochs}); leaving the existing _last checkpoint alone")
     return {"state": state, "history": history, "best_val_loss": best_val,
             "mesh": mesh, "apply_fn": apply_fn, "dataset": dataset}
