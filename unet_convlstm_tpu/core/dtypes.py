@@ -2,8 +2,13 @@
 
 TPU MXU throughput doubles in bfloat16 and HBM traffic halves, so the default
 policy computes convolutions in bf16 while keeping parameters, BatchNorm
-statistics, losses and optimizer state in float32.  Accumulation inside every
-conv/matmul is forced to float32 via ``preferred_element_type``.
+statistics, losses and optimizer state in float32.  On TPU the MXU
+accumulates bf16 convs in f32 natively; ``conv2d`` deliberately does NOT
+force a ``preferred_element_type`` upcast (ops/conv.py explains why —
+the f32 output would break the conv gradient rule and double the HBM
+write), so on non-TPU backends the conv output precision is the
+backend's bf16-conv default. Reductions that need guaranteed f32 (BN
+stats, losses, the recurrence) upcast explicitly at their call sites.
 """
 
 from __future__ import annotations

@@ -18,6 +18,12 @@ from .temporal_unet import (
 
 
 def _build_custom(cfg_dict: Dict[str, Any]):
+    # Defaults here mirror the reference's PRODUCTION driver config
+    # (main.py:227 CUSTOM_CFG: base_ch 64, skip-LSTMs on) — the
+    # TemporalUNetConfig dataclass instead mirrors the CLASS defaults
+    # (unet.py:132: base_ch 32, skip-LSTMs off). Checkpoints embed the
+    # fully-resolved dict (asdict), so the divergence only matters for
+    # hand-written partial dicts: build_model is the driver-level path.
     cfg = TemporalUNetConfig(
         in_channels_per_sat=cfg_dict.get("in_channels_per_sat", 1),
         out_channels=cfg_dict.get("out_channels", 1),

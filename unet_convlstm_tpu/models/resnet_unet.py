@@ -220,14 +220,8 @@ def resnet_unet_init_state(cfg: ResNetUNetConfig, batch: int, height: int,
     return state
 
 
-def _to_time_major(x_bt, B, T):
-    """Free reshape: the conv path runs time-major ([T*B, ...]) so every
-    scan boundary avoids an HBM transpose (see temporal_unet.py)."""
-    return x_bt.reshape(T, B, *x_bt.shape[1:])
-
-
-def _to_batch_major(x_tm, B, T):
-    return x_tm.reshape(T * B, *x_tm.shape[2:])
+from .layout import to_time_major as _to_time_major  # noqa: E402
+from .layout import to_batch_major as _to_batch_major  # noqa: E402
 
 
 def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,

@@ -150,17 +150,8 @@ def _decode(params, stats, xb_bt, skips_bt, cfg: TemporalUNetConfig,
     return y, ns
 
 
-def _to_time_major(x_bt, B: int, T: int):
-    """[T*B, h, w, c] (time-major flattened) → [T, B, h, w, c] — a free
-    reshape: the whole conv path runs time-major so the scan boundary costs
-    no transpose (the round-1 layout paid an HBM copy per skip level here,
-    fwd and bwd)."""
-    return x_bt.reshape(T, B, *x_bt.shape[1:])
-
-
-def _to_batch_major(x_tm, B: int, T: int):
-    """[T, B, h, w, c] → [T*B, h, w, c] (free reshape)."""
-    return x_tm.reshape(T * B, *x_tm.shape[2:])
+from .layout import to_time_major as _to_time_major  # noqa: E402
+from .layout import to_batch_major as _to_batch_major  # noqa: E402
 
 
 def temporal_unet_apply(variables, x_seq: jax.Array,

@@ -50,7 +50,10 @@ def _gate_update(gates: jax.Array, c: jax.Array, hidden_dim: int,
     policy); each gate is upcast inside this elementwise chain so the
     recurrence math runs in f32 without ever materializing a wide gate
     tensor in HBM."""
-    if use_pallas:
+    if use_pallas and accum_dtype == jnp.float32:
+        # the Pallas kernel accumulates in f32 by construction, so it is
+        # only a valid implementation of this function under the default
+        # accum_dtype; other policies fall through to the XLA chain below
         from .pallas.convlstm_fused import fused_gate_update
         # gates stay in the conv's compute dtype — the kernel upcasts in
         # VMEM and its VJP saves only (gates, c), not f32 activations

@@ -152,14 +152,14 @@ def _bwd_2d(gates2d, c2d, dh2d, dcout2d):
 # ---------------------------------------------------------------------------
 
 def _xla_gate_update(gates, c):
-    C = c.shape[-1]
-    f32 = jnp.float32
-    i = jax.nn.sigmoid(gates[..., 0 * C:1 * C].astype(f32))
-    f = jax.nn.sigmoid(gates[..., 1 * C:2 * C].astype(f32))
-    g = jnp.tanh(gates[..., 2 * C:3 * C].astype(f32))
-    o = jax.nn.sigmoid(gates[..., 3 * C:4 * C].astype(f32))
-    c_next = f * c.astype(f32) + i * g
-    return (o * jnp.tanh(c_next)).astype(gates.dtype), c_next
+    # ONE implementation of the gate math: delegate to convlstm's XLA
+    # chain (f32 accumulation, matching the Pallas kernel) instead of a
+    # drift-prone duplicate; only the h dtype contract differs (the
+    # fused API returns h in the conv's compute dtype).
+    from ..convlstm import _gate_update
+    h, c_next = _gate_update(gates, c, c.shape[-1], use_pallas=False,
+                             accum_dtype=jnp.float32)
+    return h.astype(gates.dtype), c_next
 
 
 @jax.custom_vjp

@@ -288,7 +288,7 @@ def fused_conv3x3(x, w, b=None,
     x: [N,H,W,Cin]; w: [3,3,Cin,Cout] (x's dtype); b: [Cout] or None.
     pre_inv/pre_shift: per-Cin BN affine applied as relu(x*inv+shift)
     before the conv (both or neither). Returns (y [N,H,W,Cout],
-    sum [Cout] f32, sumsq [Cout] f32); stats are zeros if want_stats=False.
+    sum [Cout] f32, sumsq [Cout] f32); the stats sums are always accumulated and returned (want_stats exists for API symmetry; callers in eval mode simply ignore them).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -132,20 +132,27 @@ def conv_transpose2d_int8(params: dict, x: jax.Array, stride: int = 2,
     return y.astype(out_dtype)
 
 
-def quantize_tree(variables: dict) -> dict:
+def quantize_tree(variables: dict,
+                  transpose_keys: Tuple[str, ...] = ("up",)) -> dict:
     """Rewrite every conv-kernel leaf dict in a model's ``variables`` to
     its int8 form (``params`` subtree only; BN ``stats`` pass through).
 
-    A conv leaf is any dict holding a 4-D ``"w"``. Transposed-conv kernels
-    live under an ``"up"`` key in the Up blocks (ops/blocks.py::up_init)
-    and store (kh, kw, O, I) — their scale axis is 2; everything else is
-    HWIO with scale axis 3. Returns a NEW tree; the input is not mutated.
+    A conv leaf is any dict holding a 4-D ``"w"``. Transposed-conv
+    kernels store (kh, kw, O, I) and their scale axis is 2; they are
+    identified by their block key (``transpose_keys``, default the Up
+    blocks' ``"up"`` — ops/blocks.py::up_init). THE CONTRACT: a model
+    family that stores HWOI kernels under other keys must pass them
+    here. The int8 conv ops verify scale-vector length against the
+    output-channel axis, which catches a wrong-axis quantization loudly
+    whenever O != I (always true for this repo's Up blocks); kernels
+    with O == I under an unlisted key would quantize on the wrong axis
+    silently. Returns a NEW tree; the input is not mutated.
     """
     def walk(node, key=None):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 4:
                 return quantize_conv_params(
-                    node, out_axis=2 if key == "up" else 3)
+                    node, out_axis=2 if key in transpose_keys else 3)
             return {k: walk(v, k) for k, v in node.items()}
         return node
 

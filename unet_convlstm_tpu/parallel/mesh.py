@@ -22,6 +22,7 @@ import dataclasses
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -30,8 +31,11 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a 2-D ``(data, model)`` mesh. ``data=None`` → all devices / model.
 
-    The ``data`` axis maps to the fastest-varying device order so DP
-    gradient reductions ride ICI neighbours first.
+    The ``model`` axis maps to the fastest-varying device order: TP's
+    per-layer collectives fire many times per step and should ride
+    adjacent ICI links, while the DP gradient reduction fires once per
+    step and tolerates the strided hops (with model=1, the default, the
+    data axis is trivially contiguous anyway).
     """
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
@@ -62,13 +66,21 @@ class MeshRules:
     mesh: Mesh
     shard_model_channels: bool = False  # TP seam: conv out-channels on 'model'
 
-    def param_spec(self, path: str, leaf) -> P:
+    def param_spec(self, path, leaf) -> P:
+        """``path``: tuple of pytree dict keys (may be empty when unknown).
+        Sharding is by OUTPUT channels: axis 3 for HWIO conv kernels,
+        axis 2 for the transposed-conv kernels that live under an 'up'
+        block key (HWOI layout, ops/conv.py) — sharding their last axis
+        would split the contraction dim and force per-step resharding."""
         model_size = self.mesh.shape.get("model", 1)
-        if (self.shard_model_channels and leaf.ndim == 4
-                and leaf.shape[-1] % model_size == 0):
-            # HWIO conv kernels: shard output channels (skip heads whose
-            # channel count doesn't divide the axis, e.g. the 1-ch outc).
-            return P(None, None, None, "model")
+        if (not self.shard_model_channels or getattr(leaf, "ndim", 0) != 4
+                or not jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return P()
+        out_axis = 2 if "up" in path else 3
+        if leaf.shape[out_axis] % model_size == 0:
+            spec = [None, None, None, None]
+            spec[out_axis] = "model"
+            return P(*spec)
         return P()
 
     def params_sharding(self, params):
@@ -85,6 +97,9 @@ class MeshRules:
         makes TP *training* — not just a sharded forward — work: each
         device updates only its channel shard of params+moments, and XLA
         inserts the gradient collectives."""
-        return jax.tree_util.tree_map(
-            lambda leaf: NamedSharding(self.mesh, self.param_spec("", leaf)),
-            tree)
+        def leaf_sharding(key_path, leaf):
+            keys = tuple(getattr(k, "key", getattr(k, "name", ""))
+                         for k in key_path)
+            return NamedSharding(self.mesh, self.param_spec(keys, leaf))
+
+        return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
