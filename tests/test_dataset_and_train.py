@@ -321,3 +321,74 @@ def test_multi_step_matches_single_steps(dataset, mesh, tiny_model):
     s3, losses3, _ = multi_dp(s3, jnp.asarray(xs), jnp.asarray(ys))
     assert np.isfinite(np.asarray(losses3)).all()
     assert float(losses3[-1]) < float(losses3[0])
+
+
+def test_mmap_sidecars_invalidate_on_regenerated_npz(tmp_path):
+    """Regenerating the npz must invalidate the .npy sidecars (mtime
+    check) — stale sidecars used to silently serve the OLD arrays."""
+    import os
+    import time
+
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+
+    npz = str(tmp_path / "d.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=4, image_size=32,
+                          num_digits=1, seed=0, as_xy=True)
+    ds1 = NPZSequenceDataset(npz, mmap=True)
+    old0 = np.array(ds1.X[0])
+    del ds1
+    time.sleep(0.05)
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=4, image_size=32,
+                          num_digits=1, seed=7, as_xy=True)
+    os.remove(npz + ".stats.json")        # stats follow the new data too
+    ds2 = NPZSequenceDataset(npz, mmap=True)
+    assert not np.array_equal(np.array(ds2.X[0]), old0)
+
+
+def test_grain_source_pickles_paths_not_arrays(npz_path):
+    """Grain workers receive the npz PATH + stats, not the full X/Y
+    arrays (pickling the dataset would copy tens of GB per worker)."""
+    import pickle as _pickle
+
+    from unet_convlstm_tpu.data.pipeline import _GrainSource
+
+    ds = NPZSequenceDataset(npz_path)
+    src = _GrainSource(ds, np.arange(4))
+    blob = _pickle.dumps(src)
+    # the payload must be tiny — a pickled X alone would be ~100 KB here
+    assert len(blob) < 4096
+    clone = _pickle.loads(blob)
+    a = src[1]
+    b = clone[1]
+    np.testing.assert_array_equal(a["x"], b["x"])
+    np.testing.assert_array_equal(a["y"], b["y"])
+
+
+def test_torn_stats_manifest_recovers(tmp_path):
+    """A crash mid-manifest-write must not poison every later dataset
+    construction: a torn JSON is recomputed, not re-raised."""
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+
+    npz = str(tmp_path / "d.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=4, image_size=32,
+                          num_digits=1, seed=0, as_xy=True)
+    with open(npz + ".stats.json", "w") as f:
+        f.write('{"args": {"trunc')           # torn write
+    ds = NPZSequenceDataset(npz)              # must not raise
+    assert ds.stats.norm_const > 0
+
+
+def test_zero_y_scale_falls_back_to_unit(tmp_path):
+    """>99%-zero targets give percentile-99 |Y| = 0; asinh(y/0) would NaN
+    every normalized target."""
+    import numpy as _np
+
+    from unet_convlstm_tpu.ops.normalize import compute_norm_stats
+
+    X = _np.random.default_rng(0).uniform(0, 2, (4, 2, 2, 8, 8)).astype(
+        _np.float32)
+    Y = _np.zeros((4, 2, 1, 8, 8), _np.float32)
+    Y[0, 0, 0, 0, 0] = 3.0                   # a single nonzero pixel
+    stats = compute_norm_stats(X, Y)
+    assert stats.y_scale == 1.0
+    assert _np.isfinite(stats.trans_min) and _np.isfinite(stats.trans_max)

@@ -36,6 +36,14 @@ def gather_transpose(src: np.ndarray, indices: np.ndarray,
             and src.flags["C_CONTIGUOUS"]):
         if out is None:
             out = np.empty((B, T, H, W, C), np.float32)
+        elif (out.shape != (B, T, H, W, C) or out.dtype != np.float32
+              or not out.flags["C_CONTIGUOUS"]):
+            # the kernel writes B*T*H*W*C f32 at out's raw pointer — a
+            # wrong-shape/dtype or non-contiguous buffer would be heap
+            # corruption, not an exception
+            raise ValueError(
+                f"out must be C-contiguous float32 {(B, T, H, W, C)}, got "
+                f"{out.dtype} {out.shape} contiguous={out.flags['C_CONTIGUOUS']}")
         lib.gather_transpose_f32(
             src.ctypes.data, indices.ctypes.data, out.ctypes.data,
             B, T, C, H, W, int(nthreads or _NTHREADS))

@@ -68,6 +68,8 @@ class NPZSequenceDataset:
                 raise KeyError(f"{npz_path}: expected keys X/Y or data, "
                                f"found {sorted(data.keys())}")
         self.N, self.T = self.X.shape[:2]
+        self.npz_path = npz_path
+        self.mmap = mmap
         self.H, self.W = self.X.shape[-2:]
 
         manifest_path = npz_path + ".stats.json"
@@ -84,8 +86,11 @@ class NPZSequenceDataset:
         else:
             cached = None
             if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    manifest = json.load(f)
+                try:
+                    with open(manifest_path) as f:
+                        manifest = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    manifest = {}  # torn write (crash mid-dump): recompute
                 # a cached manifest is only valid for the SAME normalization
                 # settings — changed args must recompute, not silently win
                 if manifest.get("args") == norm_args:
@@ -95,9 +100,13 @@ class NPZSequenceDataset:
             else:
                 self.stats = compute_norm_stats(self.X, self.Y, **norm_args)
                 try:
-                    with open(manifest_path, "w") as f:
+                    # temp + rename: a crash mid-dump must not leave a torn
+                    # manifest that poisons every later construction
+                    tmp = f"{manifest_path}.tmp{os.getpid()}"
+                    with open(tmp, "w") as f:
                         json.dump({"args": norm_args,
                                    "stats": self.stats.to_dict()}, f)
+                    os.replace(tmp, manifest_path)
                 except OSError:
                     pass  # read-only data dir — stats stay in-memory
 
@@ -109,10 +118,29 @@ class NPZSequenceDataset:
         Pages stream in on demand through the native gather kernel."""
         x_npy = npz_path + ".X.npy"
         y_npy = npz_path + ".Y.npy"
-        if not (os.path.exists(x_npy) and os.path.exists(y_npy)):
+        src_mtime = os.path.getmtime(npz_path)
+        fresh = (os.path.exists(x_npy) and os.path.exists(y_npy)
+                 and os.path.getmtime(x_npy) >= src_mtime
+                 and os.path.getmtime(y_npy) >= src_mtime)
+        if not fresh:
+            # a REGENERATED npz must invalidate the sidecars (mtime check),
+            # and extraction must be atomic: temp + rename, so a killed or
+            # concurrent extraction can never leave a truncated .npy that
+            # later runs silently map
             data = np.load(npz_path)
-            np.save(x_npy, data["X"].astype(np.float32))
-            np.save(y_npy, data["Y"].astype(np.float32))
+            if "X" in data:
+                arrays = {"X": data["X"].astype(np.float32),
+                          "Y": data["Y"].astype(np.float32)}
+            else:  # moving-mnist 'data' layout
+                from .moving_mnist import moving_mnist_to_xy
+                x, y = moving_mnist_to_xy(data["data"])
+                arrays = {"X": x, "Y": y}
+            for path, key in ((x_npy, "X"), (y_npy, "Y")):
+                # tmp must END in .npy — np.save appends the suffix
+                # otherwise and the rename source wouldn't exist
+                tmp = f"{path[:-4]}.tmp{os.getpid()}.npy"
+                np.save(tmp, arrays[key])
+                os.replace(tmp, path)
         return (np.load(x_npy, mmap_mode="r"),
                 np.load(y_npy, mmap_mode="r"))
 

@@ -97,11 +97,30 @@ def prefetch_to_device(iterator, size: int = 2,
 
 class _GrainSource:
     """Module-level (picklable) grain data source — worker_count>0 forks
-    child processes that must pickle the source."""
+    child processes that must pickle the source. Pickling ships only the
+    npz PATH + stats manifest, never the X/Y arrays: serializing the
+    dataset itself would copy the full (potentially tens-of-GB) arrays
+    into every worker, defeating the large-dataset case; each worker
+    reopens the npz memory-mapped instead."""
 
     def __init__(self, dataset, indices: np.ndarray):
         self.dataset = dataset
         self.indices = np.asarray(indices)
+
+    def __getstate__(self):
+        return {"npz_path": self.dataset.npz_path,
+                "stats": self.dataset.stats.to_dict(),
+                "indices": self.indices}
+
+    def __setstate__(self, st):
+        from .npz_dataset import NPZSequenceDataset
+        from ..ops.normalize import NormStats
+
+        self.indices = st["indices"]
+        # mmap=True: workers page samples in on demand via the sidecars
+        self.dataset = NPZSequenceDataset(
+            st["npz_path"], stats=NormStats.from_dict(st["stats"]),
+            mmap=True)
 
     def __len__(self):
         return len(self.indices)

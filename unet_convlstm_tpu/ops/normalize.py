@@ -85,6 +85,11 @@ def compute_norm_stats(X: np.ndarray, Y: np.ndarray,
             y_scale = 1.0
     else:
         y_scale = float(y_transform_scale)
+    if y_scale <= 0.0:
+        # >99%-zero targets (sparse velocity maps) give percentile 0:
+        # asinh(y/0) would make every normalized target inf/NaN and
+        # training would silently NaN — fall back to a unit scale
+        y_scale = 1.0
 
     if explicit:
         trans_min = float(_transform_np(np.float64(min_vel), y_transform, y_scale))

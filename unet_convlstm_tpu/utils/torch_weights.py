@@ -338,7 +338,7 @@ def export_pretrained_temporal_unet_checkpoint(variables: Dict[str, Any]
     cin = int(np.shape(enc_p["conv1"]["w"])[2])
     n_layers = len(p["skip0"])
     for l in range(n_layers):
-        in_dim = cin if l == 0 else cin
+        in_dim = cin
         out[f"lstm_skips.0.layers.{l}.conv.weight"] = np.zeros(
             (4 * cin, in_dim + cin, 3, 3), np.float32)
         out[f"lstm_skips.0.layers.{l}.conv.bias"] = np.zeros(

@@ -147,7 +147,10 @@ def volume_check(beta: np.ndarray, save_path: str,
         ax.plot_trisurf(verts[:, 2], verts[:, 1], faces, verts[:, 0],
                         lw=0, alpha=0.6)
         ax.set_title(f"β isosurface @ {level}")
-    except ImportError:
+    except (ImportError, ValueError, RuntimeError):
+        # no skimage, OR marching_cubes rejecting the volume (level
+        # outside the data range for an empty/thin patch) — either way
+        # the MIP fallback is the point of this function
         fig, axes = plt.subplots(1, 3, figsize=(15, 5))
         for ax, (axis, name) in zip(axes, ((0, "top (z)"), (1, "side (y)"),
                                            (2, "side (x)"))):

@@ -113,7 +113,7 @@ def compose_dashboard_frame(renders, wmaps, geo_rgb,
 def create_dashboard_3d(root_images: str, root_maps: str, csv_path: str,
                         sample_idx: int, out_path: str,
                         map_type: str = "w",
-                        map_suffix: str = "slice_1000m",
+                        map_suffix: str = "slice_1500m",
                         n_views: int = 2,
                         start_folder: Optional[int] = None,
                         end_folder: Optional[int] = None,
@@ -127,18 +127,21 @@ def create_dashboard_3d(root_images: str, root_maps: str, csv_path: str,
     fallback for reference-produced trees."""
     import cv2
 
+    from ..datagen.overpass import enumerate_patch_folders
+
     log = print if verbose else (lambda *a, **k: None)
     times, lookup = load_camera_csv(csv_path)
-    folders = sorted((f for f in os.listdir(root_images) if f.isdigit()
-                      and (start_folder is None
-                           or int(f) >= start_folder)
-                      and (end_folder is None or int(f) <= end_folder)),
-                     key=int)
+    # (position, folder) with FULL-list positions: the cyclic time
+    # assignment must match how stage B/C rendered these folders even on
+    # a bounded run (a filtered-index k would label folder 5's frame with
+    # times[0]'s satellite geometry)
+    folders = enumerate_patch_folders(root_images, start_folder,
+                                      end_folder)
     sid = f"sample_{sample_idx:03d}"
     geo_fn = geometry_panel_2d if geo_mode == "2d" else geometry_panel_3d
     writer = None
     frames = 0
-    for k, folder in enumerate(folders):
+    for k, folder in folders:
         renders, wmaps = [], []
         for v in range(n_views):
             f_render = _find(os.path.join(root_images, folder),
