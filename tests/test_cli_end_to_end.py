@@ -137,3 +137,36 @@ def test_registry_freeze_fallback_reaches_optimizer_mask():
     build_model(cfg_dict)      # resolves freeze (no .pth in this image)
     assert cfg_dict["freeze_encoder"] is False
     assert _trainable_mask({"encoder": {"w": None}}, cfg_dict) is None
+
+
+def test_quantized_checkpoint_roundtrip(trained, npz_path, workdir):
+    """convert-checkpoint --quantize writes an int8 checkpoint that
+    evaluate loads DIRECTLY (the conv ops dispatch on the quantized
+    leaves — no --int8 flag needed) with metrics at int8 noise."""
+    qdir = str(workdir / "qckpt")
+    main(["convert-checkpoint", "--checkpoint",
+          os.path.join(trained, "custom_best"), "--quantize", qdir])
+    out_dir = str(workdir / "eval_qckpt")
+    main(["evaluate", "--checkpoint", qdir, "--npz", npz_path,
+          "--out-dir", out_dir, "--batch-size", "4"])
+    with open(os.path.join(out_dir, "report.json")) as f:
+        q = json.load(f)
+    with open(os.path.join(str(workdir / "eval"), "report.json")) as f:
+        ref = json.load(f)
+    assert abs(q["mae"] - ref["mae"]) < 0.1 * max(ref["mae"], 0.1)
+    # int8 kernels on disk: the quantized state is ~4x smaller
+    import subprocess
+    qs = int(subprocess.check_output(["du", "-sb", qdir]).split()[0])
+    fs = int(subprocess.check_output(
+        ["du", "-sb", os.path.join(trained, "custom_best")]).split()[0])
+    assert qs < 0.6 * fs
+
+
+def test_doctor_cpu(capsys):
+    """The environment self-check passes on the CPU platform (the
+    test-suite configuration) and exercises every probe."""
+    main(["doctor", "--platform", "cpu", "--device-timeout", "120"])
+    out = capsys.readouterr().out
+    assert "doctor: all checks passed" in out
+    assert "PROBE_OK cpu" in out
+    assert "MESH_OK 8" in out

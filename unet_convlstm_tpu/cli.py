@@ -254,6 +254,25 @@ def cmd_convert_checkpoint(args):
         export_temporal_unet_checkpoint,
     )
 
+    if args.quantize:
+        if not args.checkpoint:
+            raise SystemExit("--quantize requires --checkpoint <our ckpt>")
+        from .ops.quant import quantize_tree
+        from .train.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(args.checkpoint)
+        qv = quantize_tree({"params": state["params"]})
+        meta = dict(meta)
+        meta["int8"] = True
+        out = os.path.abspath(args.quantize.rstrip("/"))
+        save_checkpoint(os.path.dirname(out), os.path.basename(out),
+                        {"params": qv["params"], "stats": state["stats"]},
+                        meta, wait=True)
+        print(f"quantized {args.checkpoint} -> {out} (int8 conv kernels; "
+              "evaluate/rollout/serve load it directly — the conv ops "
+              "dispatch on the quantized leaves, no flag needed)")
+        return
+
     if args.to_torch:
         import numpy as np
 
@@ -352,6 +371,83 @@ def cmd_cloud_gate(args):
         cfg = dataclasses.replace(cfg, render_batch_size=args.render_batch)
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
     raise SystemExit(0 if res["passed"] else 1)
+
+
+def cmd_doctor(args):
+    """Environment self-check (no reference counterpart — ops tooling for
+    the TPU deployment surface): library versions, native hostio build,
+    a BOUNDED device probe in a subprocess (a wedged accelerator tunnel
+    reports UNREACHABLE instead of hanging the shell), and the virtual
+    multi-device CPU mesh the test suite and dryrun depend on."""
+    import subprocess
+    import sys
+
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"[{'PASS' if ok else 'FAIL'}] {name}" +
+              (f": {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    import jax
+    import numpy as np
+    print(f"python {sys.version.split()[0]}  jax {jax.__version__}  "
+          f"numpy {np.__version__}")
+
+    from .native.build import load_hostio
+    check("native hostio kernels", load_hostio() is not None,
+          "C++ build or cached .so")
+
+    probe = ("import jax\n"
+             + ("jax.config.update('jax_platforms', 'cpu')\n"
+                if args.platform == "cpu" else "")
+             + "import jax.numpy as jnp\n"
+               "d = jax.devices()\n"
+               "x = jnp.ones((128, 128))\n"
+               "print('PROBE_OK', d[0].platform, float((x @ x).sum()))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=args.device_timeout)
+        ok = "PROBE_OK" in r.stdout
+        check("device probe (compile + execute)", ok,
+              r.stdout.strip().splitlines()[-1] if ok else
+              (r.stderr.strip().splitlines() or ["no output"])[-1])
+    except subprocess.TimeoutExpired:
+        check("device probe (compile + execute)", False,
+              f"TIMED OUT after {args.device_timeout}s — backend "
+              "unreachable (wedged tunnel / dead worker?)")
+
+    mesh_probe = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') + "
+        "' --xla_force_host_platform_device_count=8').strip()\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "print('MESH_OK', len(jax.devices()))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", mesh_probe],
+                           capture_output=True, text=True, timeout=120)
+        check("virtual 8-device CPU mesh", "MESH_OK 8" in r.stdout,
+              r.stdout.strip() or r.stderr.strip().splitlines()[-1:])
+    except subprocess.TimeoutExpired:
+        check("virtual 8-device CPU mesh", False, "timed out")
+
+    import tempfile
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    if cache:
+        try:
+            with tempfile.NamedTemporaryFile(dir=cache):
+                pass
+            check("compile cache writable", True, cache)
+        except OSError as e:
+            check("compile cache writable", False, str(e))
+
+    if failures:
+        raise SystemExit(f"doctor: {len(failures)} check(s) failed: "
+                         + ", ".join(failures))
+    print("doctor: all checks passed")
 
 
 def cmd_bench(_args):
@@ -540,6 +636,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fallback when the .pt has no embedded config")
     cc.add_argument("--checkpoint", default=None,
                     help="OUR checkpoint dir to export (with --to-torch)")
+    cc.add_argument("--quantize", default=None, metavar="OUT_DIR",
+                    help="write an int8-quantized copy of --checkpoint "
+                         "(4x smaller conv kernels; loads directly into "
+                         "evaluate/rollout/serve)")
     cc.add_argument("--to-torch", default=None, metavar="OUT.pt",
                     help="export --checkpoint to the reference's torch "
                          "checkpoint format")
@@ -588,6 +688,19 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--int8", action="store_true",
                     help="post-training int8 inference (see evaluate)")
     sv.set_defaults(fn=cmd_serve)
+
+    dr = sub.add_parser("doctor",
+                        help="environment self-check (devices, native "
+                             "build, virtual mesh) with bounded probes")
+    dr.add_argument("--device-timeout", type=int, default=300,
+                    help="seconds before the device probe is declared "
+                         "unreachable (first TPU compile through a "
+                         "tunnel can take minutes)")
+    dr.add_argument("--platform", default=None,
+                    choices=[None, "cpu"],
+                    help="probe this platform instead of the default "
+                         "backend (cpu = the test-suite configuration)")
+    dr.set_defaults(fn=cmd_doctor)
     return p
 
 
