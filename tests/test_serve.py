@@ -184,7 +184,31 @@ def test_http_malformed_requests_are_400(checkpoint):
         assert r.status == 400
         assert "width" in json.loads(r.read())["error"]
         conn.request("POST", "/v1/predict/nosuch", body=b"")
-        assert conn.getresponse().status == 400    # no X-Shape header
+        r = conn.getresponse()
+        assert r.status == 400                     # no X-Shape header
+        r.read()
+        # keep-alive survives an error reply WITH an unread body: the
+        # handler must drain rfile before answering, or the next request
+        # on the reused connection parses the leftover bytes as its
+        # request line
+        conn.request("POST", "/v1/predict/nosuch",
+                     body=np.zeros(16, "<f4").tobytes())
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+        # query strings must not 404 a valid route
+        conn.request("POST", "/v1/session",
+                     body=json.dumps({"batch": 1, "height": 32,
+                                      "width": 32}))
+        sid = json.loads(conn.getresponse().read())["session_id"]
+        conn.request("GET", f"/v1/session/{sid}?trace=1")
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
     finally:
         server.shutdown()
 

@@ -75,8 +75,10 @@ def run() -> dict:
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss, _ = step(state, x_dev, y_dev)
-    assert np.isfinite(float(loss))
+    final_loss = float(loss)   # the SYNC — must not live inside an assert
     dt = time.perf_counter() - t0
+    if not np.isfinite(final_loss):
+        raise RuntimeError(f"benchmark loss is non-finite: {final_loss}")
 
     frames_per_sec_per_chip = B * T * ITERS / dt / n_dev
     return {

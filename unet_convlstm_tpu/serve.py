@@ -172,6 +172,12 @@ class StreamingPredictor:
                 f"frame geometry {B}x{H}x{W} does not match session "
                 f"{s.batch}x{s.height}x{s.width}")
         with s.lock:                    # per-session state consistency
+            # re-validate AFTER acquiring the session lock: a concurrent
+            # DELETE may have popped the session — serving (and mutating)
+            # an orphan after the client was told it closed is a race
+            with self._sessions_lock:
+                if self._sessions.get(sid) is not s:
+                    raise KeyError(f"unknown session {sid!r}")
             with self._device_lock:     # one chip, many threads
                 y, new_state = self._step(self.variables,
                                           jnp.asarray(frames), s.state)
@@ -185,11 +191,9 @@ class StreamingPredictor:
         """Pre-compile the step for a geometry (first compile is slow)."""
         sid = self.open_session(batch, height, width)
         try:
-            cin = 2 * self.model_cfg.get("in_channels_per_sat", 1) \
-                if self.model_cfg.get("type", "custom") == "custom" \
-                else self.model_cfg.get("in_channels", 2)
             self.predict(sid, np.zeros(
-                (batch, seq_len, height, width, cin), np.float32))
+                (batch, seq_len, height, width,
+                 self._input_channels()), np.float32))
         finally:
             self.close_session(sid)
 
@@ -219,12 +223,18 @@ def _make_handler(predictor: StreamingPredictor):
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n)
 
+        def _route(self):
+            """(path, last-segment) with any query string stripped — a
+            cache-buster like ?trace=1 must not 404 a valid session id."""
+            path = self.path.partition("?")[0]
+            return path, path.rsplit("/", 1)[-1]
+
         def do_GET(self):
-            if self.path == "/healthz":
+            path, sid = self._route()
+            if path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "model": predictor.model_cfg})
-            elif self.path.startswith("/v1/session/"):
-                sid = self.path.rsplit("/", 1)[-1]
+            elif path.startswith("/v1/session/"):
                 info = predictor.session_info(sid)
                 if info is None:
                     self._json(404, {"error": "unknown session"})
@@ -234,9 +244,15 @@ def _make_handler(predictor: StreamingPredictor):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            # ALWAYS drain the body first: HTTP/1.1 keep-alive reuses the
+            # connection, and an error reply that leaves N unread body
+            # bytes in rfile makes the next request parse binary payload
+            # as its request line
+            body = self._read_body()
+            path, sid = self._route()
             try:
-                if self.path == "/v1/session":
-                    req = json.loads(self._read_body() or b"{}")
+                if path == "/v1/session":
+                    req = json.loads(body or b"{}")
                     missing = [k for k in ("batch", "height", "width")
                                if k not in req]
                     if missing:
@@ -247,16 +263,14 @@ def _make_handler(predictor: StreamingPredictor):
                         int(req["batch"]), int(req["height"]),
                         int(req["width"]))
                     self._json(200, {"session_id": sid})
-                elif self.path.startswith("/v1/predict/"):
-                    sid = self.path.rsplit("/", 1)[-1]
+                elif path.startswith("/v1/predict/"):
                     if self.headers.get("X-Shape") is None:
                         self._json(400,
                                    {"error": "missing X-Shape header"})
                         return
                     shape = tuple(int(v) for v in
                                   self.headers["X-Shape"].split(","))
-                    frames = np.frombuffer(
-                        self._read_body(), dtype="<f4").reshape(shape)
+                    frames = np.frombuffer(body, dtype="<f4").reshape(shape)
                     y = predictor.predict(sid, frames)
                     body = np.ascontiguousarray(y, dtype="<f4").tobytes()
                     self.send_response(200)
@@ -273,12 +287,19 @@ def _make_handler(predictor: StreamingPredictor):
                 # with request fields validated above, a KeyError can only
                 # be predictor.predict's unknown-session lookup
                 self._json(404, {"error": str(e)})
-            except Exception as e:  # client errors surface as 400s
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # anything else is a SERVER fault (compile failure, OOM,
+                # bad checkpoint): 5xx for monitoring + traceback for the
+                # operator — a 400 would send them debugging the client
+                import traceback
+                traceback.print_exc()
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_DELETE(self):
-            if self.path.startswith("/v1/session/"):
-                sid = self.path.rsplit("/", 1)[-1]
+            path, sid = self._route()
+            if path.startswith("/v1/session/"):
                 ok = predictor.close_session(sid)
                 self._json(200 if ok else 404, {"closed": ok})
             else:
