@@ -188,9 +188,10 @@ def test_export_to_reference_strict_load_and_parity(rng, use_attention,
     model = ref.TemporalUNetDualView(
         in_channels_per_sat=1, out_channels=1, base_ch=8, lstm_layers=1,
         use_skip_lstm=use_skip_lstm, use_attention=use_attention)
-    missing, unexpected = model.load_state_dict(
+    # strict=True raises on any key/shape mismatch — that IS the assert
+    model.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v))
-         for k, v in sd.items()}, strict=True), None
+         for k, v in sd.items()}, strict=True)
     model.eval()
 
     x = rng.standard_normal((1, 3, 2, 32, 32)).astype(np.float32)

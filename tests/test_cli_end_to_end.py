@@ -149,9 +149,14 @@ def test_quantized_checkpoint_roundtrip(trained, npz_path, workdir):
     out_dir = str(workdir / "eval_qckpt")
     main(["evaluate", "--checkpoint", qdir, "--npz", npz_path,
           "--out-dir", out_dir, "--batch-size", "4"])
+    # float reference produced HERE (not borrowed from another test's
+    # output dir — the test must stand alone under -k selection)
+    ref_dir = str(workdir / "eval_qref")
+    main(["evaluate", "--checkpoint", os.path.join(trained, "custom_best"),
+          "--npz", npz_path, "--out-dir", ref_dir, "--batch-size", "4"])
     with open(os.path.join(out_dir, "report.json")) as f:
         q = json.load(f)
-    with open(os.path.join(str(workdir / "eval"), "report.json")) as f:
+    with open(os.path.join(ref_dir, "report.json")) as f:
         ref = json.load(f)
     assert abs(q["mae"] - ref["mae"]) < 0.1 * max(ref["mae"], 0.1)
     # int8 kernels on disk: the quantized state is ~4x smaller

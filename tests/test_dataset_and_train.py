@@ -7,11 +7,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from unet_convlstm_tpu.data.moving_mnist import (
-    generate_moving_mnist, synthetic_digit_bank, save_moving_mnist_npz,
-)
+from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
 from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
-from unet_convlstm_tpu.data.pipeline import SequenceLoader, prefetch_to_device
+from unet_convlstm_tpu.data.pipeline import SequenceLoader
 from unet_convlstm_tpu.ops.normalize import (
     compute_mask, normalize_x, normalize_y, denormalize_y,
 )
@@ -327,7 +325,6 @@ def test_mmap_sidecars_invalidate_on_regenerated_npz(tmp_path):
     """Regenerating the npz must invalidate the .npy sidecars (mtime
     check) — stale sidecars used to silently serve the OLD arrays."""
     import os
-    import time
 
     from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
 
@@ -337,9 +334,13 @@ def test_mmap_sidecars_invalidate_on_regenerated_npz(tmp_path):
     ds1 = NPZSequenceDataset(npz, mmap=True)
     old0 = np.array(ds1.X[0])
     del ds1
-    time.sleep(0.05)
     save_moving_mnist_npz(npz, seq_len=2, num_samples=4, image_size=32,
                           num_digits=1, seed=7, as_xy=True)
+    # force the npz STRICTLY newer than the sidecars — a coarse-mtime
+    # filesystem could stamp them equal, which counts as fresh
+    newer = max(os.path.getmtime(npz + ".X.npy"),
+                os.path.getmtime(npz + ".Y.npy")) + 2.0
+    os.utime(npz, (newer, newer))
     os.remove(npz + ".stats.json")        # stats follow the new data too
     ds2 = NPZSequenceDataset(npz, mmap=True)
     assert not np.array_equal(np.array(ds2.X[0]), old0)

@@ -69,6 +69,19 @@ def test_stage_c_maps(pipeline):
 
 def test_stage_d_and_training(pipeline):
     root, patches, csv, n_folders, n_samples, seq_len = pipeline
+    # stage B/C outputs exist from the earlier tests in this module; run
+    # them here too so this test stands alone under -k selection
+    if not os.path.isdir(root / "renders"):
+        from unet_convlstm_tpu.datagen.render_batch import render_dataset
+        render_dataset(patches, str(root / "renders"), csv,
+                       resolution=(16, 16), fov_deg=0.06, verbose=False)
+    if not os.path.isdir(root / "maps"):
+        from unet_convlstm_tpu.datagen.velocity_maps import (
+            build_velocity_maps)
+        build_velocity_maps(patches, str(root / "maps"), csv,
+                            mode="slice", resolution=(16, 16),
+                            slice_height_m=100.0, reference_plane_z=80.0,
+                            fov=0.06, verbose=False)
     out = build_trajectory_sequences(
         str(root / "renders"), str(root / "maps"),
         str(root / "ds.npz"), seq_len=seq_len, num_samples=n_samples,
@@ -80,18 +93,14 @@ def test_stage_d_and_training(pipeline):
     assert data["Y"].shape == (n_samples, seq_len, 1, 16, 16)
 
     ds = NPZSequenceDataset(out)
-    cfg = TrainConfig(npz_path=out, batch_size=8, epochs=1,
-                      train_frac=0.5, checkpoint_dir="",
-                      model={"type": "custom", "base_ch": 4,
-                             "use_skip_lstm": False, "lstm_layers": 1})
-    # 2 samples only → duplicate indices into a viable loader via fit's
-    # dataset hook; batch 8 over 8 devices needs padding — use batch 8 with
-    # drop_remainder on 1 train sample is empty, so train on all via eval:
-    # instead just check the jitted eval path end-to-end.
+    # with so few samples a train loop is not viable; check the jitted
+    # eval path end-to-end on the assembled dataset instead
     from unet_convlstm_tpu.models.registry import build_model
     import jax
 
-    _, init_fn, apply_fn, _ = build_model(cfg.model)
+    _, init_fn, apply_fn, _ = build_model(
+        {"type": "custom", "base_ch": 4,
+         "use_skip_lstm": False, "lstm_layers": 1})
     variables = init_fn(jax.random.PRNGKey(0))
     report = evaluate_model(apply_fn, variables, ds,
                             indices=np.arange(len(ds)), batch_size=2,

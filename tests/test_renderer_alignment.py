@@ -13,7 +13,7 @@ from unet_convlstm_tpu.datagen.renderer import (
     render_radiance, make_synthetic_debug_volume,
 )
 from unet_convlstm_tpu.datagen.alignment import (
-    get_camera_matrices, warp_to_virtual_camera, _homography_from_points,
+    warp_to_virtual_camera, _homography_from_points,
 )
 
 
@@ -93,30 +93,71 @@ def test_warp_identity():
                                rtol=1e-3, atol=1e-3)
 
 
+def _reference_project(points_w, pose, K):
+    """The test's OWN pinhole projection, re-derived from the reference
+    camera equations (image_alignment_utils.py:8-43: forward to target,
+    right = forward x world_up[0,1,0], down = forward x right, R rows =
+    [right, down, forward], t = -R p) — an oracle INDEPENDENT of
+    datagen/alignment.py, so a sign/axis bug there fails this test."""
+    target = np.array([0.0, 0.0, 0.0])
+    forward = target - pose
+    forward = forward / np.linalg.norm(forward)
+    right = np.cross(forward, np.array([0.0, 1.0, 0.0]))
+    right = right / np.linalg.norm(right)
+    down = np.cross(forward, right)
+    down = down / np.linalg.norm(down)
+    R = np.vstack([right, down, forward])
+    t = -R @ pose.reshape(3, 1)
+    cam = (R @ points_w.T + t).T
+    uvw = (K @ cam.T).T
+    return (uvw[:, :2] / uvw[:, 2:3]).astype(np.float32)
+
+
 def test_warp_aligns_two_views():
-    """Two cameras viewing a plane pattern: after warping both into the
-    virtual camera, the overlap should agree."""
+    """Two DIFFERENT cameras viewing the same plane pattern must align to
+    the SAME virtual-camera image after warp_to_virtual_camera. The
+    source views are synthesized with the test's independent projection
+    oracle (cv2 homography of reference-equation corner projections) —
+    not with the code under test — so this is not a round-trip identity."""
     cv2 = pytest.importorskip("cv2")
-    # synthetic plane image rendered from two poses via cv2 (ground truth
-    # generator only), then aligned with our warp
     base = np.zeros((64, 64), np.float32)
     base[24:40, 24:40] = 1.0
     K = np.array([[400.0, 0, 32.0], [0, 400.0, 32.0], [0, 0, 1.0]])
     virt = np.array([0.0, 0.0, 500.0])
-    src_pose = np.array([60.0, -40.0, 500.0])
-    # make the "source image": what src camera sees of the plane = warp of
-    # the virtual view by the inverse mapping
-    from unet_convlstm_tpu.datagen.alignment import get_camera_matrices
-    # generate source view by projecting base (virtual view of plane) through
-    # the same homography machinery in reverse
-    out_src = warp_to_virtual_camera(base, virt, src_pose, K, 64,
-                                     plane_height=0.0)
-    # now align back into the virtual camera
-    back = warp_to_virtual_camera(out_src, src_pose, virt, K, 64,
-                                  plane_height=0.0)
+    poses = [np.array([60.0, -40.0, 500.0]),
+             np.array([-80.0, 30.0, 520.0])]
+
+    # world corners of the pattern square on the z=0 plane, computed from
+    # the VIRTUAL view's pixel coordinates with the independent oracle
+    # (virtual camera at nadir: pixel -> plane is a similarity)
+    # pattern square pixel corners in the virtual image:
+    px = np.array([[24, 24], [40, 24], [40, 40], [24, 40]], np.float32)
+    # invert the virtual projection analytically for the nadir camera:
+    # forward=(0,0,-1); right = forward x up = (+1,0,0); down = forward x
+    # right = (0,-1,0); cam = R(p_w - pose) = (x, -y, 500)
+    # => u = fx*x/500 + cx, v = -fx*y/500 + cx
+    fx, cx = K[0, 0], K[0, 2]
+    world = np.stack([(px[:, 0] - cx) * 500.0 / fx,
+                      -(px[:, 1] - cx) * 500.0 / fx,
+                      np.zeros(4)], axis=1)
+    # sanity: the oracle reprojects these corners to the virtual pixels
+    np.testing.assert_allclose(_reference_project(world, virt, K), px,
+                               atol=1e-3)
+
+    warped = []
+    for pose in poses:
+        src_px = _reference_project(world, pose, K)
+        H = cv2.getPerspectiveTransform(px, src_px)
+        src_img = cv2.warpPerspective(base, H, (64, 64))
+        warped.append(warp_to_virtual_camera(src_img, pose, virt, K, 64,
+                                             plane_height=0.0))
     inner = (slice(20, 44), slice(20, 44))
-    assert np.corrcoef(back[inner].ravel(),
-                       base[inner].ravel())[0, 1] > 0.95
+    for w in warped:  # each aligned view recovers the virtual pattern
+        assert np.corrcoef(w[inner].ravel(),
+                           base[inner].ravel())[0, 1] > 0.9
+    # and the two aligned views agree with each other
+    assert np.corrcoef(warped[0][inner].ravel(),
+                       warped[1][inner].ravel())[0, 1] > 0.9
 
 
 def test_render_batch_driver(tmp_path):
