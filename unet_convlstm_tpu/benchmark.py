@@ -12,12 +12,23 @@ see BASELINE.md "measured" table).
 ``run()`` returns the result dict; the repo-root ``bench.py`` (and the
 ``bench`` CLI subcommand) print it as ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
+
+Resilience: ``main()`` supervises the measurement in a CHILD process with a
+bounded per-attempt timeout, retrying with backoff on failure.  The axon TPU
+tunnel's known failure mode is a *hang* inside backend init (``jax.devices()``
+blocks forever), which cannot be recovered in-process — ``clear_backends()``
+never gets control back — so process isolation is the only reliable re-dial.
+On final failure the supervisor emits ONE diagnostic JSON line (never a bare
+traceback) so the driver's record stays parseable.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -28,9 +39,25 @@ B, T, H = 64, 10, 64
 UNROLL = 10  # full scan unroll over the sequence (+10% on v5e)
 WARMUP, ITERS = 3, 20
 
+METRIC = "train_frames_per_sec_per_chip_mnist64_seq10_fwd_bwd"
+
+# Per-attempt wall clock. TPU first-compile through the tunnel has been
+# observed at 2-5 min on a degraded day; 720 s covers compile + 23 steps
+# with margin while keeping 3 attempts under the driver's patience.
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "720"))
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+BACKOFFS_S = (20, 60)  # sleep between attempts 1→2 and 2→3
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
 
 def run() -> dict:
     import jax
+
+    _log("importing framework + acquiring devices...")
 
     from .data.moving_mnist import (
         generate_moving_mnist, moving_mnist_to_xy, synthetic_digit_bank)
@@ -40,7 +67,9 @@ def run() -> dict:
         make_mesh, batch_sharding, replicated_sharding)
     from .train import make_optimizer, make_train_step
 
+    t0 = time.perf_counter()
     n_dev = len(jax.devices())
+    _log(f"backend up: {n_dev} device(s) in {time.perf_counter() - t0:.1f}s")
     mesh = make_mesh(data=n_dev)
 
     data = generate_moving_mnist(seq_len=T, num_samples=B, image_size=H,
@@ -67,10 +96,12 @@ def run() -> dict:
     x_dev = jax.device_put(x_raw, shard)
     y_dev = jax.device_put(y_raw, shard)
 
+    _log("compiling + warming up train step...")
     for _ in range(WARMUP):
         state, loss, _ = step(state, x_dev, y_dev)
     float(loss)  # value fetch — block_until_ready alone doesn't drain the
     # queue on the experimental axon backend
+    _log("warmup done; timing...")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -90,9 +121,74 @@ def run() -> dict:
     }
 
 
-def main():
-    print(json.dumps(run()))
+def _parse_child_result(stdout: str) -> dict | None:
+    """Last stdout line must be the result JSON with the expected keys."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if {"metric", "value", "unit", "vs_baseline"} <= set(obj):
+            return obj
+    return None
+
+
+def _run_child(timeout_s: int) -> tuple[dict | None, str]:
+    """One measurement attempt in a fresh process. Returns (result, why)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, "-m", "unet_convlstm_tpu.benchmark", "--child"]
+    try:
+        proc = subprocess.run(
+            cmd, cwd=repo_root, capture_output=True, text=True,
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        # A hung backend-init never returns; the expired child is killed by
+        # subprocess.run. Report where it got to (stderr progress log).
+        tail = ((e.stderr or b"").decode(errors="replace")
+                if isinstance(e.stderr, bytes) else (e.stderr or ""))
+        return None, f"timeout after {timeout_s}s; last: {tail.strip()[-300:]}"
+    if proc.returncode != 0:
+        return None, (f"rc={proc.returncode}; "
+                      f"stderr tail: {proc.stderr.strip()[-300:]}")
+    result = _parse_child_result(proc.stdout)
+    if result is None:
+        return None, f"no result JSON in stdout: {proc.stdout.strip()[-300:]}"
+    return result, "ok"
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if "--child" in argv or "--no-retry" in argv:
+        print(json.dumps(run()))
+        return 0
+
+    failures: list[str] = []
+    for attempt in range(1, ATTEMPTS + 1):
+        _log(f"attempt {attempt}/{ATTEMPTS} "
+             f"(timeout {ATTEMPT_TIMEOUT_S}s)")
+        result, why = _run_child(ATTEMPT_TIMEOUT_S)
+        if result is not None:
+            print(json.dumps(result))
+            return 0
+        failures.append(f"attempt {attempt}: {why}")
+        _log(failures[-1])
+        if attempt < ATTEMPTS:
+            backoff = BACKOFFS_S[min(attempt - 1, len(BACKOFFS_S) - 1)]
+            _log(f"backing off {backoff}s before re-dial")
+            time.sleep(backoff)
+
+    # Final failure: one parseable diagnostic line, not a traceback.
+    print(json.dumps({
+        "metric": METRIC, "value": 0.0, "unit": "frames/sec/chip",
+        "vs_baseline": 0.0,
+        "error": "TPU benchmark failed after retries",
+        "attempts": failures,
+    }))
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -369,6 +369,14 @@ def cmd_cloud_gate(args):
                                   mc_spp_chunk=args.mc_spp_chunk)
     if args.render_batch != 1:
         cfg = dataclasses.replace(cfg, render_batch_size=args.render_batch)
+    # geometry overrides (reference temporal depth: seq_len=12 folders of
+    # 49 samples, build_sequences.py:15-16 — the defaults keep gates cheap,
+    # these knobs run them at the real dataset contract)
+    for knob in ("seq_len", "n_folders", "n_samples", "epochs",
+                 "batch_size"):
+        v = getattr(args, knob)
+        if v is not None:
+            cfg = dataclasses.replace(cfg, **{knob: v})
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
     raise SystemExit(0 if res["passed"] else 1)
 
@@ -453,7 +461,7 @@ def cmd_doctor(args):
 def cmd_bench(_args):
     from .benchmark import main as bench_main
 
-    bench_main()
+    raise SystemExit(bench_main([]))
 
 
 def cmd_serve(args):
@@ -675,6 +683,16 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--render-batch", type=int, default=1,
                     help="stage-B patches per dispatch (one vmapped SPMD "
                          "program; amortizes dispatch on 1 chip)")
+    cg.add_argument("--seq-len", type=int, default=None, dest="seq_len",
+                    help="sequence length (reference contract: 12, "
+                         "build_sequences.py:15)")
+    cg.add_argument("--n-folders", type=int, default=None, dest="n_folders",
+                    help="time folders (must be >= seq-len)")
+    cg.add_argument("--n-samples", type=int, default=None, dest="n_samples",
+                    help="patches per folder (reference: 49/chunk)")
+    cg.add_argument("--epochs", type=int, default=None)
+    cg.add_argument("--batch-size", type=int, default=None,
+                    dest="batch_size")
     cg.set_defaults(fn=cmd_cloud_gate)
 
     sv = sub.add_parser("serve",
