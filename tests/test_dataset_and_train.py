@@ -393,3 +393,61 @@ def test_zero_y_scale_falls_back_to_unit(tmp_path):
     stats = compute_norm_stats(X, Y)
     assert stats.y_scale == 1.0
     assert _np.isfinite(stats.trans_min) and _np.isfinite(stats.trans_max)
+
+
+def test_history_csv_append_keeps_columns_aligned_across_schema_change(
+        tmp_path):
+    """A resume whose row schema differs (e.g. skip_nonfinite_updates
+    toggled adds/removes the nonfinite_steps column) must not append
+    misaligned columns: the existing header stays authoritative —
+    extra keys dropped, missing keys blank."""
+    import csv
+
+    from unet_convlstm_tpu.train.loop import _append_history_csv
+
+    d = str(tmp_path)
+    _append_history_csv(d, {"epoch": 1, "train_loss": 0.5,
+                            "nonfinite_steps": 0})
+    # resumed run without the guard column, plus a brand-new key
+    _append_history_csv(d, {"epoch": 2, "train_loss": 0.4,
+                            "new_metric": 7.0})
+    with open(f"{d}/history.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["1", "2"]
+    assert rows[1]["train_loss"] == "0.4"
+    assert rows[1]["nonfinite_steps"] == ""      # blank, not shifted
+    assert "new_metric" not in rows[0] and "new_metric" not in rows[1]
+
+
+def test_remat_matches_no_remat_exactly():
+    """remat=True (encoder+decoder jax.checkpoint — the HBM knob that
+    unlocks B=64 on the production config) must recompute the SAME ops:
+    loss and gradients identical to the stored-activation path."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_convlstm_tpu.core.dtypes import FP32_POLICY
+    from unet_convlstm_tpu.models.temporal_unet import (
+        TemporalUNetConfig, temporal_unet_apply, temporal_unet_init)
+
+    cfg = TemporalUNetConfig(base_ch=4, use_skip_lstm=True)
+    variables = temporal_unet_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32, 2))
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 32, 32, 1))
+
+    def loss(params, remat):
+        out, _, _ = temporal_unet_apply(
+            {"params": params, "stats": variables["stats"]}, x, cfg,
+            train=True, policy=FP32_POLICY, remat=remat)
+        return jnp.mean((out - y) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(
+        variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(
+        variables["params"])
+    assert float(l0) == float(l1)
+    # XLA reschedules the recomputed ops, so f32 reassociation shifts the
+    # low-order bits; atol covers near-zero grads where rtol is meaningless
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)

@@ -60,7 +60,7 @@ def test_conv_transpose2d_matches_torch(rng):
     x = rng.standard_normal((2, 8, 7, 7), dtype=np.float32)
     y = conv_transpose2d(p, jnp.asarray(nhwc(x)), stride=2, policy=FP32_POLICY)
     # ours (kh, kw, out, in) -> torch ConvTranspose2d (in, out, kh, kw)
-    w_t = torch.from_numpy(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)).copy())
+    w_t = torch.from_numpy(np.transpose(np.asarray(p["wt"]), (3, 2, 0, 1)).copy())
     yt = F.conv_transpose2d(torch.from_numpy(x), w_t,
                             torch.from_numpy(np.asarray(p["b"])), stride=2)
     assert y.shape == (2, 14, 14, 4)

@@ -40,7 +40,7 @@ def test_conv_transpose2d_int8_tracks_float():
     p = conv_transpose2d_init(rng, 16, 8, 2)
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 16))
     ref = conv_transpose2d(p, x, policy=FP32_POLICY)
-    q = conv_transpose2d(quantize_conv_params(p, out_axis=2), x,
+    q = conv_transpose2d(quantize_conv_params(p), x,  # axis from 'wt' tag
                          policy=FP32_POLICY)
     assert q.shape == ref.shape
     assert _rel_l2(q, ref) < 0.02
@@ -85,14 +85,15 @@ def test_quantize_tree_full_model_forward():
     # every conv kernel was rewritten; originals untouched
     leaves = jax.tree_util.tree_leaves_with_path(qv["params"])
     n_q = sum(1 for path, leaf in leaves
-              if path[-1].key == "w_q" and leaf.dtype == jnp.int8)
+              if path[-1].key in ("w_q", "wt_q") and leaf.dtype == jnp.int8)
     n_w4 = sum(1 for path, leaf in
                jax.tree_util.tree_leaves_with_path(variables["params"])
-               if path[-1].key == "w" and leaf.ndim == 4)
+               if path[-1].key in ("w", "wt") and leaf.ndim == 4)
     assert n_q == n_w4 > 0
-    assert not any(path[-1].key == "w" and leaf.ndim == 4
+    assert not any(path[-1].key in ("w", "wt") and leaf.ndim == 4
                    for path, leaf in leaves)
-    # transposed kernels (under 'up') scale along their axis-2 out channel
+    # transposed kernels ('wt' structural tag) scale along their axis-2
+    # out channel
     def find(node, key):
         if isinstance(node, dict):
             if key in node:
@@ -100,7 +101,7 @@ def test_quantize_tree_full_model_forward():
             for v in node.values():
                 yield from find(v, key)
     up = next(iter(find(qv["params"], "up")))
-    assert up["w_s"].shape == (up["w_q"].shape[2],)
+    assert up["wt_s"].shape == (up["wt_q"].shape[2],)
 
 
 def test_quantized_streaming_matches_quantized_full():
@@ -184,13 +185,26 @@ def test_quantized_model_under_default_bf16_policy():
 
 
 def test_quantized_wrong_axis_fails_loudly():
-    """A transposed (HWOI) kernel quantized as a regular conv must raise,
-    not silently dequantize with wrong per-channel factors."""
+    """A transposed (HWOI) kernel quantized on the wrong axis must raise,
+    not silently dequantize with wrong per-channel factors. The API can
+    no longer produce this by default (the 'wt' tag fixes the axis), so
+    force it with an explicit override."""
     p = conv_transpose2d_init(jax.random.PRNGKey(0), 16, 8, 2)
-    bad = quantize_conv_params(p)          # wrong: axis 3 (= input chans)
+    bad = quantize_conv_params(p, out_axis=3)  # wrong: axis 3 = input chans
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 16))
-    with pytest.raises(ValueError, match="out_axis=2"):
+    with pytest.raises(ValueError, match="'wt' leaf"):
         conv_transpose2d(bad, x, policy=FP32_POLICY)
+
+
+def test_quantize_tree_refuses_legacy_untagged_transposed_kernel():
+    """A pre-rename checkpoint holding a transposed kernel as 'w' under an
+    'up' block must be refused loudly — quantizing it as HWIO would skew
+    every per-channel scale silently (its O==I shape would even pass the
+    length check)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 8, 8))  # O == I
+    legacy = {"params": {"up3": {"up": {"w": w}}}}
+    with pytest.raises(ValueError, match="legacy checkpoint"):
+        quantize_tree(legacy)
 
 
 def test_chunked_mc_sum_balances_compile_shapes():

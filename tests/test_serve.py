@@ -70,6 +70,13 @@ def test_predictor_validates_geometry(checkpoint):
         pred.predict(sid, np.zeros((1, 1, 16, 16, 2), np.float32))
     with pytest.raises(ValueError):
         pred.predict(sid, np.zeros((1, 32, 32, 2), np.float32))
+    # T=0 and wrong channel count are CLIENT errors too — they must raise
+    # ValueError here (mapped to HTTP 400), not detonate inside the jitted
+    # step as a 500 server fault.
+    with pytest.raises(ValueError, match="time step"):
+        pred.predict(sid, np.zeros((1, 0, 32, 32, 2), np.float32))
+    with pytest.raises(ValueError, match="channels"):
+        pred.predict(sid, np.zeros((1, 1, 32, 32, 5), np.float32))
 
 
 def test_http_server_roundtrip(checkpoint):

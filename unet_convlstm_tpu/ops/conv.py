@@ -104,11 +104,17 @@ def conv_transpose2d_init(key, in_ch: int, out_ch: int, kernel_size: int = 2,
     """Weights stored as (kh, kw, out_ch, in_ch) — the gradient-of-conv
     layout used with ``transpose_kernel=True`` (matches torch ConvTranspose2d
     math; verified in tests/test_ops_parity.py). fan_in follows torch's init
-    for weight shape (in, out, kh, kw): fan_in = out_ch * kh * kw."""
+    for weight shape (in, out, kh, kw): fan_in = out_ch * kh * kw.
+
+    The kernel lives under the key ``"wt"`` (not ``"w"``) — a structural
+    tag of its HWOI layout, so layout-sensitive tree walkers (int8
+    quantization's per-out-channel scales, tensor-parallel channel
+    sharding) dispatch on the leaf itself instead of inferring from
+    enclosing block names."""
     kh = kw = kernel_size
     fan_in = out_ch * kh * kw
     wkey, bkey = jax.random.split(key)
-    params = {"w": _kaiming_uniform(wkey, (kh, kw, out_ch, in_ch), fan_in, dtype=dtype)}
+    params = {"wt": _kaiming_uniform(wkey, (kh, kw, out_ch, in_ch), fan_in, dtype=dtype)}
     if bias:
         params["b"] = _fanin_uniform_bias(bkey, (out_ch,), fan_in, dtype=dtype)
     return params
@@ -118,11 +124,13 @@ def conv_transpose2d(params, x, stride: int = 2,
                      policy: Policy = DEFAULT_POLICY):
     """Transposed conv, NHWC. For kernel=stride=2 / padding 0 this exactly
     doubles H and W (matches torch ConvTranspose2d(k=2, s=2))."""
-    if "w_q" in params:
+    if "wt_q" in params:
         from .quant import conv_transpose2d_int8
         return conv_transpose2d_int8(params, x, stride,
                                      out_dtype=policy.compute_dtype)
-    w = policy.cast_param(params["w"])
+    # "wt" is the canonical HWOI key; "w" accepted for checkpoints written
+    # before the structural rename.
+    w = policy.cast_param(params["wt"] if "wt" in params else params["w"])
     x = policy.cast_input(x)
     # transpose_kernel=True: w is the HWIO kernel of the corresponding
     # *forward* conv (I=out_ch of this op); XLA flips it spatially and swaps

@@ -66,12 +66,23 @@ def _quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return x_q, scale
 
 
-def quantize_conv_params(params: dict, out_axis: int = 3) -> dict:
-    """``{"w", "b"?}`` → ``{"w_q", "w_s", "b"?}``. ``out_axis`` is 3 for
-    conv2d kernels (HWIO) and 2 for conv_transpose2d kernels (HWOI —
-    ops/conv.py ``transpose_kernel=True`` layout)."""
-    w_q, w_s = _quantize_weight(params["w"], out_axis)
-    out = {"w_q": w_q, "w_s": w_s}
+def quantize_conv_params(params: dict, out_axis: int | None = None) -> dict:
+    """``{"w", "b"?}`` → ``{"w_q", "w_s", "b"?}`` and
+    ``{"wt", "b"?}`` → ``{"wt_q", "wt_s", "b"?}``.
+
+    The layout is detected STRUCTURALLY from the weight key: ``"w"`` is an
+    HWIO conv2d kernel (out axis 3), ``"wt"`` is an HWOI transposed kernel
+    (out axis 2 — ops/conv.py ``transpose_kernel=True`` layout, written by
+    ``conv_transpose2d_init``). ``out_axis`` overrides only for exotic
+    layouts."""
+    if "wt" in params:
+        w_q, w_s = _quantize_weight(params["wt"],
+                                    2 if out_axis is None else out_axis)
+        out = {"wt_q": w_q, "wt_s": w_s}
+    else:
+        w_q, w_s = _quantize_weight(params["w"],
+                                    3 if out_axis is None else out_axis)
+        out = {"w_q": w_q, "w_s": w_s}
     if "b" in params:
         out["b"] = params["b"]
     return out
@@ -87,9 +98,9 @@ def conv2d_int8(params: dict, x: jax.Array, stride: int = 1,
             f"w_s has {params['w_s'].shape[0]} scales but the HWIO kernel "
             f"has {params['w_q'].shape[3]} output channels — was a "
             "transposed (HWOI) kernel quantized as a regular conv? "
-            "quantize_tree identifies transposed kernels by their 'up' "
-            "block key (ops/blocks.py::up_init); kernels stored elsewhere "
-            "need quantize_conv_params(out_axis=2) explicitly")
+            "Transposed kernels must live under the structural 'wt' key "
+            "(ops/conv.py::conv_transpose2d_init) so quantize_tree scales "
+            "them on out_axis=2")
     x_q, x_s = _quantize_act(x)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
@@ -110,49 +121,55 @@ def conv2d_int8(params: dict, x: jax.Array, stride: int = 1,
 def conv_transpose2d_int8(params: dict, x: jax.Array, stride: int = 2,
                           out_dtype=jnp.float32) -> jax.Array:
     """int8 transposed conv (kernel in the HWOI gradient-of-conv layout,
-    matching ops/conv.conv_transpose2d)."""
-    if params["w_s"].shape[0] != params["w_q"].shape[2]:
+    matching ops/conv.conv_transpose2d; quantized leaves keyed ``wt_q`` /
+    ``wt_s`` to preserve the structural layout tag)."""
+    if params["wt_s"].shape[0] != params["wt_q"].shape[2]:
         raise ValueError(
-            f"w_s has {params['w_s'].shape[0]} scales but the HWOI kernel "
-            f"has {params['w_q'].shape[2]} output channels — quantize "
-            "transposed kernels with quantize_conv_params(out_axis=2)")
+            f"wt_s has {params['wt_s'].shape[0]} scales but the HWOI kernel "
+            f"has {params['wt_q'].shape[2]} output channels — quantize "
+            "transposed kernels via quantize_conv_params on their 'wt' leaf")
     x_q, x_s = _quantize_act(x)
     y = lax.conv_transpose(
-        x_q, params["w_q"],
+        x_q, params["wt_q"],
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
         preferred_element_type=jnp.int32,
     )
-    scale = x_s * params["w_s"].astype(jnp.float32)
+    scale = x_s * params["wt_s"].astype(jnp.float32)
     y = y.astype(jnp.float32) * scale
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(out_dtype)
 
 
-def quantize_tree(variables: dict,
-                  transpose_keys: Tuple[str, ...] = ("up",)) -> dict:
+def quantize_tree(variables: dict) -> dict:
     """Rewrite every conv-kernel leaf dict in a model's ``variables`` to
     its int8 form (``params`` subtree only; BN ``stats`` pass through).
 
-    A conv leaf is any dict holding a 4-D ``"w"``. Transposed-conv
-    kernels store (kh, kw, O, I) and their scale axis is 2; they are
-    identified by their block key (``transpose_keys``, default the Up
-    blocks' ``"up"`` — ops/blocks.py::up_init). THE CONTRACT: a model
-    family that stores HWOI kernels under other keys must pass them
-    here. The int8 conv ops verify scale-vector length against the
-    output-channel axis, which catches a wrong-axis quantization loudly
-    whenever O != I (always true for this repo's Up blocks); kernels
-    with O == I under an unlisted key would quantize on the wrong axis
-    silently. Returns a NEW tree; the input is not mutated.
+    A conv leaf is any dict holding a 4-D ``"w"`` (HWIO, scale axis 3) or
+    a 4-D ``"wt"`` (HWOI transposed layout, scale axis 2). The layout is
+    a STRUCTURAL property of the leaf key — written by conv2d_init /
+    conv_transpose2d_init respectively — so a new model family can never
+    silently quantize a transposed kernel on the wrong axis by storing it
+    under an unexpected block name. Legacy trees (pre-rename checkpoints)
+    that still hold a transposed kernel as ``"w"`` under an ``"up"`` block
+    are refused loudly. Returns a NEW tree; the input is not mutated.
     """
     def walk(node, key=None):
         if isinstance(node, dict):
+            if "wt" in node and getattr(node["wt"], "ndim", 0) == 4:
+                return quantize_conv_params(node)
             if "w" in node and getattr(node["w"], "ndim", 0) == 4:
-                return quantize_conv_params(
-                    node, out_axis=2 if key in transpose_keys else 3)
+                if key == "up":
+                    raise ValueError(
+                        "legacy checkpoint: transposed kernel stored as "
+                        "'w' under an 'up' block — re-save the checkpoint "
+                        "(the float path still loads it) so the kernel "
+                        "carries its structural 'wt' tag before int8 "
+                        "quantization")
+                return quantize_conv_params(node)
             return {k: walk(v, k) for k, v in node.items()}
         return node
 

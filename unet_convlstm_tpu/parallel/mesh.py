@@ -69,14 +69,15 @@ class MeshRules:
     def param_spec(self, path, leaf) -> P:
         """``path``: tuple of pytree dict keys (may be empty when unknown).
         Sharding is by OUTPUT channels: axis 3 for HWIO conv kernels,
-        axis 2 for the transposed-conv kernels that live under an 'up'
-        block key (HWOI layout, ops/conv.py) — sharding their last axis
+        axis 2 for transposed-conv kernels, identified structurally by
+        their 'wt' leaf key (HWOI layout, ops/conv.py::conv_transpose2d_init;
+        'up' kept for pre-rename checkpoints) — sharding their last axis
         would split the contraction dim and force per-step resharding."""
         model_size = self.mesh.shape.get("model", 1)
         if (not self.shard_model_channels or getattr(leaf, "ndim", 0) != 4
                 or not jnp.issubdtype(leaf.dtype, jnp.floating)):
             return P()
-        out_axis = 2 if "up" in path else 3
+        out_axis = 2 if ("wt" in path or "up" in path) else 3
         if leaf.shape[out_axis] % model_size == 0:
             spec = [None, None, None, None]
             spec[out_axis] = "model"

@@ -135,8 +135,15 @@ class StreamingPredictor:
                 self.variables, dummy, state)
             state = jax.tree_util.tree_map(
                 lambda a, t: a.astype(t.dtype), state, out_state)
-        except Exception:
-            pass  # alignment is an optimization; never block a session
+        except (TypeError, ValueError) as e:
+            # Alignment is an optimization (skipping it only costs one
+            # recompile on the second predict) — but log it: a genuinely
+            # broken checkpoint/model would otherwise surface only as an
+            # opaque 500 on the first predict.
+            import logging
+            logging.getLogger(__name__).warning(
+                "carry-dtype alignment skipped (model eval_shape failed; "
+                "a broken checkpoint would fail predict too): %s", e)
         with self._sessions_lock:
             self._sessions[sid] = _Session(batch, height, width,
                                            state=state)
@@ -166,11 +173,20 @@ class StreamingPredictor:
         if frames.ndim != 5:
             raise ValueError(f"frames must be [B,T,H,W,C], got "
                              f"{frames.shape}")
-        B, _, H, W, _ = frames.shape
+        B, T, H, W, C = frames.shape
         if (B, H, W) != (s.batch, s.height, s.width):
             raise ValueError(
                 f"frame geometry {B}x{H}x{W} does not match session "
                 f"{s.batch}x{s.height}x{s.width}")
+        # Validate T/C here so a malformed client payload maps to a 400
+        # client error instead of failing inside the jitted step as a 500.
+        if T < 1:
+            raise ValueError("frames must contain at least one time step "
+                             f"(got T={T})")
+        expect_c = self._input_channels()
+        if C != expect_c:
+            raise ValueError(f"frames have {C} channels; the model "
+                             f"expects {expect_c}")
         with s.lock:                    # per-session state consistency
             # re-validate AFTER acquiring the session lock: a concurrent
             # DELETE may have popped the session — serving (and mutating)

@@ -48,10 +48,22 @@ def _append_history_csv(ckpt_dir: str, row: Dict[str, Any],
 
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, filename)
-    new = not os.path.exists(path)
+    fieldnames = list(row)
+    if os.path.exists(path):
+        # A resume may toggle the row schema (e.g. skip_nonfinite_updates
+        # adds/removes the nonfinite_steps column); keep the existing
+        # header authoritative so appended rows stay column-aligned —
+        # unknown keys are dropped, missing ones left blank.
+        with open(path, newline="") as f:
+            header = next(csv.reader(f), None)
+        if header:
+            fieldnames = header
+    else:
+        header = None
     with open(path, "a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=list(row))
-        if new:
+        writer = csv.DictWriter(f, fieldnames=fieldnames,
+                                extrasaction="ignore", restval="")
+        if header is None:
             writer.writeheader()
         writer.writerow(row)
 

@@ -154,7 +154,7 @@ def convert_temporal_unet_checkpoint(sd: Dict[str, Any]) -> Dict[str, Any]:
 
     for name in ("up3", "up2", "up1", "up0"):
         w_t = arr(f"{name}.up.weight")  # torch ConvTranspose: (in,out,kh,kw)
-        up_p = {"w": np.ascontiguousarray(np.transpose(w_t, (2, 3, 1, 0)))}
+        up_p = {"wt": np.ascontiguousarray(np.transpose(w_t, (2, 3, 1, 0)))}
         if f"{name}.up.bias" in sd:
             up_p["b"] = arr(f"{name}.up.bias")
         dc_p, dc_s = _double_conv_entry(sd, arr, f"{name}.conv")
@@ -277,7 +277,7 @@ def export_temporal_unet_checkpoint(variables: Dict[str, Any]
         # our ConvTranspose weights are (kh, kw, out, in); torch
         # ConvTranspose2d.weight is (in, out, kh, kw)
         out[f"{name}.up.weight"] = np.ascontiguousarray(np.transpose(
-            _np(p[name]["up"]["w"]), (3, 2, 0, 1)))
+            _np(p[name]["up"]["wt"]), (3, 2, 0, 1)))
         if "b" in p[name]["up"]:
             out[f"{name}.up.bias"] = _np(p[name]["up"]["b"])
         _export_double_conv(out, f"{name}.conv", p[name]["conv"],
