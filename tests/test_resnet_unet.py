@@ -1,6 +1,8 @@
 """ResNet18-UNet model family tests: torch parity of the basic block,
 forward shapes, streaming equivalence, frozen encoder, weight converter."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -227,3 +229,82 @@ def test_hub_cache_weights_are_found_and_freeze_holds(monkeypatch, tmp_path):
     got = np.asarray(variables["params"]["encoder"]["layer1_0"]["conv2"]["w"])
     want = np.transpose(sd["layer1.0.conv2.weight"].numpy(), (2, 3, 1, 0))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# --- frozen-ImageNet end-to-end (VERDICT round-2 missing #1) -------------
+
+def test_frozen_pretrained_end_to_end(tmp_path):
+    """The reference's DEFAULT training configuration — pretrained frozen
+    encoder (main.py:213-214 USE_PRETRAINED=True + resnet18.py:41-44
+    freeze_encoder) — driven through train → evaluate → export-to-torch.
+    A torchvision-layout resnet18 .pth stands in for the ImageNet file
+    (absent from this image); the values don't matter for proving the
+    plumbing, the layout and freeze semantics do."""
+    from unet_convlstm_tpu.cli import main as cli_main
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+    from unet_convlstm_tpu.utils.torch_weights import load_torch_resnet18
+
+    pth = str(tmp_path / "resnet18-local.pth")
+    torch.save(_synthetic_resnet18_sd(), pth)
+    npz = str(tmp_path / "mm.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=10, image_size=32,
+                          num_digits=1, seed=0, as_xy=True)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    cfg = TrainConfig(npz_path=npz, batch_size=2, epochs=1,
+                      mesh_data=1, checkpoint_dir=ckpt_dir,
+                      model={"type": "resnet18", "lstm_layers": 1,
+                             "pretrained_path": pth,
+                             "freeze_encoder": True})
+    out = fit(cfg, dataset=NPZSequenceDataset(npz), verbose=False)
+
+    # 1) freeze_encoder survived (no silent fallback — weights were given)
+    assert cfg.model["freeze_encoder"] is True
+
+    # 2) frozen encoder params are BIT-identical to the converted .pth
+    #    after a real AdamW epoch (masked optimizer: no update, no decay)
+    want = load_torch_resnet18(pth, in_channels=2)["params"]
+    got = out["state"]["params"]["encoder"]
+    for path_w, a in jax.tree_util.tree_leaves_with_path(want):
+        b = got
+        for k in path_w:
+            b = b[k.key]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 3) reference freeze semantics for BN: the frozen encoder runs in
+    #    inference mode (running stats USED, never updated —
+    #    encoder_bn_train=False default; SURVEY §7 hard part 3), while
+    #    decoder BN stats do train
+    enc_stats0 = load_torch_resnet18(pth, in_channels=2)["stats"]
+    enc_stats1 = out["state"]["stats"]["encoder"]
+    for path_s, a in jax.tree_util.tree_leaves_with_path(enc_stats0):
+        b = enc_stats1
+        for k in path_s:
+            b = b[k.key]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dec_means = [leaf for path_s, leaf in jax.tree_util.tree_leaves_with_path(
+        out["state"]["stats"]["decoder"]) if path_s[-1].key == "mean"]
+    assert any(float(np.abs(np.asarray(m)).max()) > 0 for m in dec_means), \
+        "decoder BN running means never moved off zero-init — BN not training"
+
+    # 4) evaluate runs on the saved frozen checkpoint (split replay)
+    best = os.path.join(ckpt_dir, "resnet18_best")
+    eval_dir = str(tmp_path / "eval_out")
+    cli_main(["evaluate", "--checkpoint", best, "--npz", npz,
+              "--out-dir", eval_dir, "--batch-size", "2"])
+    assert os.path.exists(os.path.join(eval_dir, "report.json"))
+
+    # 5) export back to the reference's .pt format; the encoder tensors
+    #    must round-trip bit-exactly to the original torchvision values
+    out_pt = str(tmp_path / "exported.pt")
+    cli_main(["convert-checkpoint", "--checkpoint", best,
+              "--to-torch", out_pt])
+    exported = torch.load(out_pt, map_location="cpu", weights_only=True)
+    assert exported["config"]["type"] == "resnet18"
+    assert exported["config"]["freeze_encoder"] is True
+    sd0 = _synthetic_resnet18_sd()
+    got_w = exported["model_state"]["encoder.layer1.0.conv2.weight"].numpy()
+    np.testing.assert_array_equal(got_w, sd0["layer1.0.conv2.weight"].numpy())
