@@ -80,6 +80,8 @@ if __name__ == "__main__":
             ("B=16 unroll=12", 16, 12, False),
             ("B=64 unroll=12", 64, 12, False),
             ("B=32 unroll=12 remat", 32, 12, True),
+            ("B=64 unroll=12 remat", 64, 12, True),
+            ("B=96 unroll=12 remat", 96, 12, True),
         ]:
             try:
                 measure(tag, B, unroll, remat)

@@ -93,3 +93,29 @@ def test_judge_history_survives_guard_rows():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="guard"):
         judge_history([{"epoch": 1, "guard_event": "x"}], 1.0)
+
+
+def test_cli_geometry_overrides_reach_config(monkeypatch):
+    """--seq-len/--n-folders/--n-samples/--epochs/--batch-size must reach
+    CloudGateConfig — the knobs that run the gate at the reference's
+    temporal contract (T=12 × 49/chunk, build_sequences.py:15-16)."""
+    import unet_convlstm_tpu.cli as cli
+
+    seen = {}
+
+    def fake_run(work_dir, cfg, out_json=None):
+        seen.update(cfg.__dict__)
+        return {"passed": True}
+
+    monkeypatch.setattr("unet_convlstm_tpu.train.cloud_gate.run_cloud_gate",
+                        fake_run)
+    with pytest.raises(SystemExit) as e:
+        cli.main(["cloud-gate", "--work-dir", "/tmp/x", "--production",
+                  "--seq-len", "12", "--n-folders", "12",
+                  "--n-samples", "16", "--epochs", "6",
+                  "--batch-size", "8"])
+    assert e.value.code == 0
+    assert seen["seq_len"] == 12 and seen["n_folders"] == 12
+    assert seen["n_samples"] == 16 and seen["epochs"] == 6
+    assert seen["batch_size"] == 8
+    assert seen["nxy"] == 128 and seen["base_ch"] == 64  # production base

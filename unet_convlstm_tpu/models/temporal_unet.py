@@ -210,10 +210,16 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
         new_state["skip2"] = new_s2
 
     # --- Decoder, batched over B*T ---
+    # remat covers the decoder too: its up-sampled activations are the
+    # LARGEST live tensors of the backward pass (full-res maps at base_ch
+    # width) — recomputing them is what lets B=64 fit the production
+    # config's HBM (docs/PERF.md knob sweep).
     xb_bt = _to_batch_major(xb_out_tm, B, T)
-    y_bt, dec_stats = _decode(params, stats, xb_bt.astype(x_bt.dtype),
-                              (x3, x2, x1, x0), cfg, train, policy,
-                              fused=use_fused_doubleconv)
+    decode = (jax.checkpoint(_decode, static_argnums=(4, 5, 6, 7))
+              if remat else _decode)
+    y_bt, dec_stats = decode(params, stats, xb_bt.astype(x_bt.dtype),
+                             (x3, x2, x1, x0), cfg, train, policy,
+                             use_fused_doubleconv)
 
     # back to batch-major only at the (small, out_ch-wide) output
     y_seq = y_bt.reshape(T, B, *y_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
