@@ -66,6 +66,12 @@ def _sample_hg(key, d, g: float):
     k1, k2 = jax.random.split(key)
     u1 = jax.random.uniform(k1, d.shape[:1])
     u2 = jax.random.uniform(k2, d.shape[:1])
+    return hg_from_uniforms(u1, u2, d, g)
+
+
+def hg_from_uniforms(u1, u2, d, g: float):
+    """HG direction from explicit uniforms (shared with the Pallas fused
+    sampler's parity tests, ops/pallas/mc_sampler.py)."""
     if abs(g) < 1e-3:
         cos_t = 1.0 - 2.0 * u1                    # isotropic limit
     else:
