@@ -43,3 +43,22 @@ for name, beta in scenes.items():
             line += (f"  vs cell0 mean delta "
                      f"{abs(img.mean() - ref.mean()) / ref.mean() * 100:.2f}%")
         print(line, flush=True)
+
+    # Pallas fused hardware-PRNG sampling block (ops/pallas/mc_sampler.py)
+    # on the auto-selected majorant config; mean must agree with the
+    # threefry render to MC noise (different realization, same estimator)
+    for cell in (0, 16):
+        try:
+            img = np.asarray(mc_radiance(scene, **kw, majorant_cell=cell,
+                                         use_pallas_sampler=True))
+            t0 = time.perf_counter()
+            img = np.asarray(mc_radiance(scene, **kw, majorant_cell=cell,
+                                         use_pallas_sampler=True))
+            dt = time.perf_counter() - t0
+            print(f"{name} 256^2 spp16 cell={cell:2d} PALLAS-sampler: "
+                  f"{dt:6.2f} s warm mean={img.mean():.4f} "
+                  f"(threefry-cell0 mean {ref.mean():.4f})", flush=True)
+        except Exception as e:
+            print(f"{name} cell={cell} PALLAS-sampler: FAILED "
+                  f"{type(e).__name__}: {str(e).splitlines()[0][:100]}",
+                  flush=True)

@@ -96,11 +96,13 @@ DEFAULT_MAJORANT_CELL = 16  # super-voxel edge length (voxels)
 
 
 @partial(jax.jit, static_argnames=("resolution", "fov", "g",
-                                   "max_depth", "majorant_cell"))
+                                   "max_depth", "majorant_cell",
+                                   "use_pallas_sampler"))
 def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                       origin, target, up, sun_dir, fov, resolution,
                       g, albedo, irradiance, keys, max_depth,
-                      max_events, majorant_cell=0):
+                      max_events, majorant_cell=0,
+                      use_pallas_sampler=False):
     # ``keys`` is [spp, 2] — one PRNG key per sample round (the CALLER
     # splits, so a chunked dispatch scanning a slice of the same key
     # array samples the identical realization as one monolithic
@@ -156,11 +158,17 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
 
     def one_sample(carry, sample_key):
         acc = carry
+        # per-sample seed for the Pallas hardware-PRNG sampler: fold the
+        # threefry key words; per-iteration seeds advance by a Weyl odd
+        # constant inside body
+        kb = jax.lax.bitcast_convert_type(sample_key, jnp.int32)
+        base_seed = kb[0] ^ (kb[1] * jnp.int32(2654435761 - (1 << 32)))
 
         def body(state):
             i, k, pos, d, w, depth, active, L = state
-            k, k1, k2, k3 = jax.random.split(k, 4)
-            u1 = jax.random.uniform(k1, (N,))
+            if not use_pallas_sampler:
+                k, k1, k2, k3 = jax.random.split(k, 4)
+                u1 = jax.random.uniform(k1, (N,))
             if majorant_cell > 0:
                 # Exit distances are computed ENTIRELY in index space:
                 # ``floor`` is exact against the computed quotient u, so the
@@ -185,7 +193,22 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                 t_axis = jnp.where(jnp.abs(d) < 1e-9, jnp.inf,
                                    dist / jnp.abs(d))
                 t_exit = jnp.min(t_axis, axis=1)
+            else:
+                m = jnp.full((N,), beta_max)
+                t_exit = jnp.full((N,), jnp.inf)
+
+            if use_pallas_sampler:
+                # ONE fused VMEM pass: hardware PRNG + flight + HG frame
+                # (ops/pallas/mc_sampler.py); replaces the threefry chain
+                # and _sample_hg below. Different (still unbiased) RNG
+                # realization — opt-in knob.
+                from ..ops.pallas.mc_sampler import sample_flights
+                seed_i = base_seed + i * jnp.int32(-1640531527)
+                t_flight, u_acc, new_d = sample_flights(seed_i, d, m, g=g)
+            else:
                 t_flight = -jnp.log(1.0 - u1) / jnp.maximum(m, 1e-12)
+
+            if majorant_cell > 0:
                 # Classify against the TRUE exit distance; only crossings
                 # advance the extra ε past the face. A "not crossed"
                 # flight therefore lands strictly inside the cell whose
@@ -199,13 +222,14 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                 t = jnp.where(crossed, t_exit + 1e-3 * voxel_size,
                               t_flight)
             else:
-                m = jnp.full((N,), beta_max)
                 crossed = jnp.zeros((N,), bool)
-                t = -jnp.log(1.0 - u1) / beta_max
+                t = t_flight
             pos = pos + d * t[:, None]
             in_box = inside(pos)
             b_here = lookup(beta, pos)
-            real = ~crossed & ((jax.random.uniform(k2, (N,)) * m) < b_here)
+            if not use_pallas_sampler:
+                u_acc = jax.random.uniform(k2, (N,))
+            real = ~crossed & ((u_acc * m) < b_here)
             ev = active & in_box & real
 
             # NEE to the directional sun at every real collision
@@ -215,7 +239,8 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
             L = L + jnp.where(ev, w * contrib, 0.0)
 
             # continue with HG-sampled direction, weight *= albedo
-            new_d = _sample_hg(k3, d, g)
+            if not use_pallas_sampler:
+                new_d = _sample_hg(k3, d, g)
             d = jnp.where(ev[:, None], new_d, d)
             w = jnp.where(ev, w * albedo, w)
             depth = depth + ev.astype(jnp.int32)
@@ -286,7 +311,8 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                 seed: int = 0,
                 max_events: Optional[int] = None,
                 majorant_cell: Optional[int] = None,
-                spp_chunk: int = 0) -> jax.Array:
+                spp_chunk: int = 0,
+                use_pallas_sampler: bool = False) -> jax.Array:
     """Monte-Carlo radiance view [H, W] — the unbiased counterpart of
     ``render_radiance`` (camera-side transport by delta-tracked path
     tracing instead of deterministic quadrature; same β field, same HG
@@ -313,7 +339,11 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     sampled realization is identical to one monolithic dispatch (only
     the final float summation associates differently); use it to bound
     single-kernel device time (long lockstep programs can trip TPU
-    watchdog limits at production geometry). 0 = one dispatch."""
+    watchdog limits at production geometry). 0 = one dispatch.
+    ``use_pallas_sampler`` replaces the per-iteration threefry chain +
+    HG construction with the fused hardware-PRNG Pallas kernel
+    (ops/pallas/mc_sampler.py) — TPU only; a different (still unbiased)
+    RNG realization, so renders shift within their own 1/√spp noise."""
     sun = jnp.asarray(sun_dir, jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
     if t_sun is None:
@@ -337,7 +367,8 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
             jnp.asarray(target, jnp.float32),
             jnp.asarray(up, jnp.float32), sun, float(fov_deg),
             tuple(resolution), float(g), float(albedo), float(irradiance))
-    tail = (int(max_depth), int(max_events), int(majorant_cell))
+    tail = (int(max_depth), int(max_events), int(majorant_cell),
+            bool(use_pallas_sampler))
     total = chunked_mc_sum(
         lambda c, n: _mc_radiance_impl(*args, keys[c:c + n], *tail),
         int(spp), int(spp_chunk))
