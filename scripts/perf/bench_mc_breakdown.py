@@ -61,20 +61,11 @@ def main():
             return gi
         return jax.lax.fori_loop(0, K, body, idx)
 
-    # -- 2a. threefry PRNG chain (what mc_reference uses today) ----------
+    # -- 2. PRNG chain — the impl difference (threefry vs rbg/HW-backed
+    # RngBitGenerator HLO) is carried entirely by the key passed in, so
+    # ONE body serves both legs of the comparison.
     @jax.jit
-    def prng_threefry(key):
-        def body(_, carry):
-            k, acc = carry
-            k, k1, k2, k3 = jax.random.split(k, 4)
-            u = (jax.random.uniform(k1, (N,)) + jax.random.uniform(k2, (N,))
-                 + jax.random.uniform(k3, (N,)))
-            return k, acc + u
-        return jax.lax.fori_loop(0, K, body, (key, jnp.zeros(N)))[1]
-
-    # -- 2b. rbg PRNG chain (RngBitGenerator HLO — HW-backed on TPU) -----
-    @jax.jit
-    def prng_rbg(key):
+    def prng_chain(key):
         def body(_, carry):
             k, acc = carry
             k, k1, k2, k3 = jax.random.split(k, 4)
@@ -112,10 +103,10 @@ def main():
 
     t_gather = timeit("3D vector gather (1/iter)", gathers, idx0)
     key = jax.random.PRNGKey(0)
-    t_tf = timeit("threefry split+3 uniforms", prng_threefry, key)
+    t_tf = timeit("threefry split+3 uniforms", prng_chain, key)
     try:
         rbg_key = jax.random.key(0, impl="rbg")
-        t_rbg = timeit("rbg split+3 uniforms", prng_rbg, rbg_key)
+        t_rbg = timeit("rbg split+3 uniforms", prng_chain, rbg_key)
     except Exception as e:  # rbg unavailable on some backends
         print(f"rbg PRNG unavailable: {e}")
         t_rbg = float("nan")

@@ -59,19 +59,22 @@ def try_variant(name, shape, axis, reps=64):
     idx = jnp.asarray(rng.integers(0, shape[axis], shape), jnp.int32)
     try:
         fn = jax.jit(build(shape, axis, reps))
-        out = np.asarray(fn(x, idx))          # compile + run
-        # correctness of the first link in the chain
+        np.asarray(fn(x, idx))                # compile + run
+        # correctness: a reps=1 chain IS one take_along_axis — compare it
+        # against numpy so a wrong-element Mosaic gather reports FAIL
+        out1 = np.asarray(jax.jit(build(shape, axis, 1))(x, idx))
         want0 = np.take_along_axis(np.asarray(x), np.asarray(idx), axis)
+        parity = bool(np.allclose(out1, want0))
         t0 = time.perf_counter()
         np.asarray(fn(x, idx))
         dt = time.perf_counter() - t0
         per = dt / reps
         elems = shape[0] * shape[1]
-        print(f"  {name}: OK    {per*1e6:9.2f} us/gather "
+        print(f"  {name}: {'OK  ' if parity else 'WRONG'} "
+              f"{per*1e6:9.2f} us/gather "
               f"({elems/per/1e9:7.2f} G elem/s)  "
-              f"[first-link checksum ok={np.isfinite(out).all()}]")
-        del want0
-        return per
+              f"[first-link parity ok={parity}]")
+        return per if parity else None
     except Exception as e:
         msg = str(e).splitlines()[0][:110]
         print(f"  {name}: FAIL  {msg}")

@@ -230,6 +230,28 @@ def test_export_roundtrip_is_identity(rng):
                                       err_msg=jax.tree_util.keystr(pa))
 
 
+def test_export_accepts_pre_rename_checkpoint(rng):
+    """Float checkpoints written before the structural 'wt' rename store
+    transposed kernels as 'w'; --to-torch export must still work (round-3
+    review: the unconditional ['wt'] read crashed them)."""
+    from unet_convlstm_tpu.models.temporal_unet import temporal_unet_init
+    from unet_convlstm_tpu.train.checkpoint import _rename_to_legacy_keys
+    from unet_convlstm_tpu.utils.torch_weights import (
+        export_temporal_unet_checkpoint)
+
+    import jax
+
+    cfg = TemporalUNetConfig(base_ch=4, lstm_layers=1, use_skip_lstm=False)
+    variables = temporal_unet_init(jax.random.PRNGKey(9), cfg)
+    legacy, n = _rename_to_legacy_keys(variables)
+    assert n > 0
+    sd_new = export_temporal_unet_checkpoint(variables)
+    sd_old = export_temporal_unet_checkpoint(legacy)
+    assert sd_new.keys() == sd_old.keys()
+    for k in sd_new:
+        np.testing.assert_array_equal(sd_new[k], sd_old[k], err_msg=k)
+
+
 def test_resnet_export_roundtrip_and_naming():
     """ResNet-family reverse export: key set must equal the reference's
     naming oracle (+ num_batches_tracked, which torch BN state_dicts carry),

@@ -11,7 +11,26 @@ import pytest
 
 from unet_convlstm_tpu.datagen.mc_reference import hg_from_uniforms
 from unet_convlstm_tpu.ops.pallas.mc_sampler import (
-    flight_and_hg_math, sample_flights_with_uniforms)
+    _uniform_from_bits, flight_and_hg_math, sample_flights_with_uniforms)
+
+
+def test_uniform_from_bits_signed_int32_lands_in_unit_interval(rng):
+    """pltpu.prng_random_bits returns SIGNED int32; the bits→uniform map
+    must stay in [0, 1) for negative words too (an arithmetic shift alone
+    yields [-0.5, 0.5) — the round-3 review bug)."""
+    bits = jnp.asarray(
+        rng.integers(-(2**31), 2**31, 100_000, dtype=np.int64), jnp.int32)
+    u = np.asarray(_uniform_from_bits(bits))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # all 23 mantissa-step levels reachable, mean ~0.5 (unbiased)
+    assert abs(u.mean() - 0.5) < 5e-3
+    # exact endpoints: all-ones word → (2^23-1)/2^23; zero word → 0
+    ends = np.asarray(_uniform_from_bits(jnp.asarray([-1, 0], jnp.int32)))
+    np.testing.assert_allclose(ends, [(2**23 - 1) / 2**23, 0.0])
+    # uint32 input gives the identical stream (bit-source agnostic)
+    u32 = np.asarray(_uniform_from_bits(
+        jnp.asarray(np.asarray(bits).view(np.uint32))))
+    np.testing.assert_array_equal(u, u32)
 
 
 @pytest.fixture

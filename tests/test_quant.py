@@ -46,6 +46,21 @@ def test_conv_transpose2d_int8_tracks_float():
     assert _rel_l2(q, ref) < 0.02
 
 
+def test_conv_transpose2d_accepts_pre_rename_int8_checkpoint():
+    """int8 checkpoints written before the structural 'wt' rename hold up
+    blocks as {'w_q','w_s','b'} with axis-2 scales; they must keep
+    dispatching to the int8 path (round-3 review: the 'wt_q'-only check
+    crashed them with KeyError 'w')."""
+    rng = jax.random.PRNGKey(0)
+    p = conv_transpose2d_init(rng, 16, 8, 2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 16))
+    qp = quantize_conv_params(p)
+    legacy = {"w_q": qp["wt_q"], "w_s": qp["wt_s"], "b": qp["b"]}
+    np.testing.assert_array_equal(
+        np.asarray(conv_transpose2d(legacy, x, policy=FP32_POLICY)),
+        np.asarray(conv_transpose2d(qp, x, policy=FP32_POLICY)))
+
+
 def test_per_channel_scales_beat_per_tensor():
     """The point of per-output-channel scales: a kernel whose channels
     differ by 100x in magnitude must still quantize each one finely."""

@@ -52,6 +52,32 @@ def test_resume_continues_training(setup):
     assert len(lines) == 1 + 4  # header + 2 + 2 epochs
 
 
+def test_restore_pre_rename_checkpoint_with_new_template(setup):
+    """Checkpoints saved before the structural 'wt' rename (transposed
+    kernels keyed 'w', mirrored through the optax mu/nu trees) must restore
+    against a new-style template — the retry path in restore_checkpoint."""
+    from unet_convlstm_tpu.train.checkpoint import (
+        _rename_to_legacy_keys, restore_checkpoint, save_checkpoint)
+
+    root, dataset = setup
+    cfg = _cfg(root, "", "legacy_src")
+    cfg.epochs = 1
+    state = fit(cfg, dataset=dataset, verbose=False)["state"]
+
+    legacy_state, n = _rename_to_legacy_keys(state)
+    assert n > 0  # 'wt' leaves exist in params AND optimizer mirrors
+    save_checkpoint(str(root), "legacy_ckpt", legacy_state,
+                    {"epoch": 1}, wait=True)
+    restored, meta = restore_checkpoint(
+        os.path.join(str(root), "legacy_ckpt"), state_template=state)
+    assert meta["epoch"] == 1
+    assert (jax.tree_util.tree_structure(restored)
+            == jax.tree_util.tree_structure(state))
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_elastic_resume_across_mesh_sizes(setup):
     """Elastic recovery: a checkpoint trained on one mesh resumes on a
     DIFFERENT device count/topology (8-way DP -> 2x2 DP+TP -> 1 device).

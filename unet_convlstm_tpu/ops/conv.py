@@ -124,8 +124,15 @@ def conv_transpose2d(params, x, stride: int = 2,
                      policy: Policy = DEFAULT_POLICY):
     """Transposed conv, NHWC. For kernel=stride=2 / padding 0 this exactly
     doubles H and W (matches torch ConvTranspose2d(k=2, s=2))."""
-    if "wt_q" in params:
+    if "wt_q" in params or "w_q" in params:
         from .quant import conv_transpose2d_int8
+        if "wt_q" not in params:
+            # int8 checkpoint written before the structural "wt" rename:
+            # transposed kernels were quantized as {"w_q", "w_s"} (the old
+            # 'up'-block heuristic picked the correct axis-2 scales, which
+            # conv_transpose2d_int8 re-validates below).
+            params = {"wt_q": params["w_q"], "wt_s": params["w_s"],
+                      **({"b": params["b"]} if "b" in params else {})}
         return conv_transpose2d_int8(params, x, stride,
                                      out_dtype=policy.compute_dtype)
     # "wt" is the canonical HWOI key; "w" accepted for checkpoints written

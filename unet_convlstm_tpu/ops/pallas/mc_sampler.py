@@ -41,8 +41,14 @@ LANES = 128
 
 
 def _uniform_from_bits(bits):
-    """uint32 → f32 uniform in [0, 1): top 23 bits as mantissa steps."""
-    return (bits >> 9).astype(jnp.float32) * (1.0 / (1 << 23))
+    """random bits → f32 uniform in [0, 1) from 23 uniform bits.
+
+    ``pltpu.prng_random_bits`` returns *signed* int32, so ``bits >> 9``
+    alone is an arithmetic shift that would yield values in [-0.5, 0.5);
+    masking to the low 23 bits after the shift gives an unbiased [0, 1)
+    uniform for signed and unsigned inputs alike."""
+    return ((bits >> 9) & jnp.asarray(0x7FFFFF, bits.dtype)).astype(
+        jnp.float32) * (1.0 / (1 << 23))
 
 
 def flight_and_hg_math(u1, u2, u3, u4, dx, dy, dz, m, g: float):

@@ -135,7 +135,7 @@ class StreamingPredictor:
                 self.variables, dummy, state)
             state = jax.tree_util.tree_map(
                 lambda a, t: a.astype(t.dtype), state, out_state)
-        except (TypeError, ValueError) as e:
+        except Exception as e:  # noqa: BLE001 — never block a session:
             # Alignment is an optimization (skipping it only costs one
             # recompile on the second predict) — but log it: a genuinely
             # broken checkpoint/model would otherwise surface only as an

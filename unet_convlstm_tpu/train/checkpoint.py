@@ -88,12 +88,70 @@ def wait_for_saves() -> None:
     _finalize_pending_meta()
 
 
+# Structural key renames (new -> legacy): transposed-conv kernels gained
+# the "wt" layout tag in round 3; checkpoints written before that store
+# them as plain "w" (and int8 exports as "w_q"/"w_s"). The rename applies
+# uniformly to every dict level, so optimizer-state trees that mirror the
+# param structure (optax mu/nu) migrate too.
+_LEGACY_KEY_RENAMES = {"wt": "w", "wt_q": "w_q", "wt_s": "w_s"}
+
+
+def _rename_to_legacy_keys(tree):
+    """Rewrite every new-style key to its legacy name; returns
+    (renamed_tree, n_renames)."""
+    if isinstance(tree, dict):
+        out, n = {}, 0
+        for k, v in tree.items():
+            nk = _LEGACY_KEY_RENAMES.get(k, k)
+            if nk != k:
+                n += 1
+            child, cn = _rename_to_legacy_keys(v)
+            out[nk] = child
+            n += cn
+        return out, n
+    if isinstance(tree, (list, tuple)):
+        children = [_rename_to_legacy_keys(v) for v in tree]
+        n = sum(cn for _, cn in children)
+        vals = [c for c, _ in children]
+        if isinstance(tree, tuple):
+            cls = type(tree)
+            return (cls(*vals) if hasattr(cls, "_fields")
+                    else cls(vals)), n
+        return vals, n
+    return tree, 0
+
+
+def _align_to_template(restored, template):
+    """Rename legacy keys in ``restored`` back to the names ``template``
+    uses, guided position-by-position by the template (so a genuine "w"
+    conv kernel is never touched)."""
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            rk = k if k in restored else _LEGACY_KEY_RENAMES.get(k, k)
+            out[k] = _align_to_template(restored[rk], v)
+        return out
+    if isinstance(template, (list, tuple)):
+        vals = [_align_to_template(r, t) for r, t in zip(restored, template)]
+        if isinstance(template, tuple):
+            cls = type(template)
+            return cls(*vals) if hasattr(cls, "_fields") else cls(vals)
+        return vals
+    return restored
+
+
 def restore_checkpoint(path: str,
                        state_template: Optional[Dict[str, Any]] = None
                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Returns (state, metadata). With a template the state restores with the
     exact pytree structure/dtypes (required for optax namedtuple states);
-    without one it restores as nested dicts (fine for params-only use)."""
+    without one it restores as nested dicts (fine for params-only use).
+
+    Checkpoints written before the structural "wt" rename restore
+    transparently: on a tree-structure mismatch the restore retries with
+    the legacy key names and the result is renamed back to the template's
+    (new) names, so ``--resume`` and ``convert-checkpoint`` keep working
+    across the rename."""
     path = os.path.abspath(path)
     _checkpointer().wait_until_finished()
     _finalize_pending_meta()
@@ -105,7 +163,16 @@ def restore_checkpoint(path: str,
                 np.shape(x), getattr(x, "dtype", None)
                 or np.asarray(x).dtype),
             state_template)
-        state = ckptr.restore(os.path.join(path, "state"), target=abstract)
+        try:
+            state = ckptr.restore(os.path.join(path, "state"),
+                                  target=abstract)
+        except Exception:
+            legacy_abstract, n_renamed = _rename_to_legacy_keys(abstract)
+            if n_renamed == 0:
+                raise  # no legacy rename applies — a genuine mismatch
+            state = ckptr.restore(os.path.join(path, "state"),
+                                  target=legacy_abstract)
+            state = _align_to_template(state, state_template)
     else:
         state = ckptr.restore(os.path.join(path, "state"))
     meta_path = os.path.join(path, "meta.json")

@@ -275,9 +275,11 @@ def export_temporal_unet_checkpoint(variables: Dict[str, Any]
         out["attention.conv.weight"] = _hwio_to_oihw(p["attention"]["w"])
     for name in ("up3", "up2", "up1", "up0"):
         # our ConvTranspose weights are (kh, kw, out, in); torch
-        # ConvTranspose2d.weight is (in, out, kh, kw)
+        # ConvTranspose2d.weight is (in, out, kh, kw). "w" accepted for
+        # checkpoints written before the structural "wt" rename.
+        up = p[name]["up"]
         out[f"{name}.up.weight"] = np.ascontiguousarray(np.transpose(
-            _np(p[name]["up"]["wt"]), (3, 2, 0, 1)))
+            _np(up["wt"] if "wt" in up else up["w"]), (3, 2, 0, 1)))
         if "b" in p[name]["up"]:
             out[f"{name}.up.bias"] = _np(p[name]["up"]["b"])
         _export_double_conv(out, f"{name}.conv", p[name]["conv"],
