@@ -52,6 +52,32 @@ def test_mc_deterministic_per_seed():
     assert np.abs(a - c).max() > 0
 
 
+def test_mc_rbg_rng_impl_same_estimator():
+    """rng_impl='rbg' (RngBitGenerator HLO — HW-backed on TPU) is a
+    different unbiased realization of the SAME estimator: deterministic
+    per seed, chunk-invariant, and its mean agrees with threefry within
+    MC noise."""
+    scene = _blob_scene()
+    a = np.asarray(mc_radiance(scene, **_KW, spp=64, seed=3,
+                               rng_impl="rbg"))
+    b = np.asarray(mc_radiance(scene, **_KW, spp=64, seed=3,
+                               rng_impl="rbg"))
+    np.testing.assert_array_equal(a, b)
+    chunked = np.asarray(mc_radiance(scene, **_KW, spp=64, seed=3,
+                                     rng_impl="rbg", spp_chunk=16))
+    np.testing.assert_allclose(chunked, a, rtol=1e-6, atol=1e-9)
+    tf = np.asarray(mc_radiance(scene, **_KW, spp=64, seed=3))
+    assert np.abs(a - tf).max() > 0           # genuinely different stream
+    # same estimator: scattering events are sparse, so per-seed image-mean
+    # scatter is ~5-6% relative at spp 256 (measured across 4 seeds); a
+    # 3σ-of-the-difference bound catches a broken scale without flaking
+    a256 = np.asarray(mc_radiance(scene, **_KW, spp=256, seed=3,
+                                  rng_impl="rbg"))
+    tf256 = np.asarray(mc_radiance(scene, **_KW, spp=256, seed=3))
+    rel = abs(a256.mean() - tf256.mean()) / max(tf256.mean(), 1e-12)
+    assert rel < 0.25, rel
+
+
 def test_mc_single_scatter_is_march_quadrature_limit():
     """max_depth=1 estimates the deterministic single-scatter integral:
     refining the march's step moves it TOWARD the MC mean (the residual

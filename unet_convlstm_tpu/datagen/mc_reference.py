@@ -161,8 +161,12 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
         # per-sample seed for the Pallas hardware-PRNG sampler: fold the
         # threefry key words; per-iteration seeds advance by a Weyl odd
         # constant inside body
-        kb = jax.lax.bitcast_convert_type(sample_key, jnp.int32)
-        base_seed = kb[0] ^ (kb[1] * jnp.int32(2654435761 - (1 << 32)))
+        kd = sample_key
+        if jnp.issubdtype(getattr(sample_key, "dtype", None),
+                          jax.dtypes.prng_key):
+            kd = jax.random.key_data(sample_key)  # typed key (rng_impl)
+        kb = jax.lax.bitcast_convert_type(kd, jnp.int32).ravel()
+        base_seed = kb[0] ^ (kb[-1] * jnp.int32(2654435761 - (1 << 32)))
 
         def body(state):
             i, k, pos, d, w, depth, active, L = state
@@ -312,7 +316,8 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
                 max_events: Optional[int] = None,
                 majorant_cell: Optional[int] = None,
                 spp_chunk: int = 0,
-                use_pallas_sampler: bool = False) -> jax.Array:
+                use_pallas_sampler: bool = False,
+                rng_impl: str = "threefry") -> jax.Array:
     """Monte-Carlo radiance view [H, W] — the unbiased counterpart of
     ``render_radiance`` (camera-side transport by delta-tracked path
     tracing instead of deterministic quadrature; same β field, same HG
@@ -343,7 +348,12 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
     ``use_pallas_sampler`` replaces the per-iteration threefry chain +
     HG construction with the fused hardware-PRNG Pallas kernel
     (ops/pallas/mc_sampler.py) — TPU only; a different (still unbiased)
-    RNG realization, so renders shift within their own 1/√spp noise."""
+    RNG realization, so renders shift within their own 1/√spp noise.
+    ``rng_impl`` selects the XLA-level PRNG for the threefry chain path:
+    "threefry" (default — bit-stable with all recorded artifacts) or
+    "rbg" (RngBitGenerator HLO, hardware-backed on TPU; measured by
+    scripts/perf/bench_mc_breakdown.py). Like the Pallas sampler, a
+    different unbiased realization of the same estimator."""
     sun = jnp.asarray(sun_dir, jnp.float32)
     sun = sun / jnp.linalg.norm(sun)
     if t_sun is None:
@@ -360,7 +370,12 @@ def mc_radiance(scene: VolumeScene, origin, target, up=(1.0, 0.0, 0.0),
         max_events = default_max_events(
             beta_max, scene.diagonal, float(scene.voxel_size),
             majorant_cell)
-    keys = jax.random.split(jax.random.PRNGKey(seed), int(spp))
+    if rng_impl == "threefry":
+        # raw uint32[2] keys — bit-stable with every recorded artifact
+        keys = jax.random.split(jax.random.PRNGKey(seed), int(spp))
+    else:
+        keys = jax.random.split(jax.random.key(seed, impl=rng_impl),
+                                int(spp))
     args = (scene.beta, t_sun, scene.voxel_size,
             jnp.asarray(scene.min_bound), jnp.asarray(scene.max_bound),
             jnp.asarray(origin, jnp.float32),
