@@ -38,10 +38,14 @@ step() {  # step <n> <name> <timeout-s> <cmd...>
 # 1. official scoreboard number (VERDICT #1)
 step 1 bench 1200 python bench.py
 
-# 2. cloud gate at the reference's temporal contract: T=12 (VERDICT #2)
+# 2. cloud gate at the reference's temporal contract: T=12 (VERDICT #2).
+#    First run (10 epochs) reached 0.30014 vs the 0.3 threshold with val
+#    MAE still dropping 0.10/epoch — undertrained, not underpowered.
+#    Retrain on the already-rendered corpus with more epochs.
 step 2 gate_T12 5400 python -m unet_convlstm_tpu cloud-gate \
     --work-dir /tmp/cgate_T12 --production \
     --seq-len 12 --n-folders 16 --n-samples 16 \
+    --epochs 40 --reuse-dataset \
     --out results/cloud_synth_golden_r3_T12.json
 
 # 3. int8 measured, not claimed (VERDICT #3)
@@ -62,10 +66,12 @@ step 6 mc_breakdown 1800 python scripts/perf/bench_mc_breakdown.py
 # 7. remat sweep incl. B=64/B=96 (VERDICT #8)
 step 7 cost_sweep 3600 python scripts/perf/cost_cloud.py sweep
 
-# 8. WVU variant of the T=12 contract gate
+# 8. WVU variant of the T=12 contract gate (30 epochs up front — the
+#    W-map run showed 10 is undertrained at this temporal depth)
 step 8 gate_T12_wvu 5400 python -m unet_convlstm_tpu cloud-gate \
     --work-dir /tmp/cgate_T12_wvu --production --wvu \
     --seq-len 12 --n-folders 16 --n-samples 16 \
+    --epochs 30 \
     --out results/cloud_wvu_golden_r3_T12.json
 
 echo "QUEUE COMPLETE $(date -u +%H:%M:%S)" | tee -a /tmp/q_queue.log

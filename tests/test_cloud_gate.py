@@ -95,6 +95,38 @@ def test_judge_history_survives_guard_rows():
         judge_history([{"epoch": 1, "guard_event": "x"}], 1.0)
 
 
+def test_cloud_gate_reuse_dataset(tmp_path, monkeypatch):
+    """reuse_dataset=True retrains on the existing work-dir dataset
+    without re-running stages B/C/D — and rebuilds when the
+    dataset-shaping config differs (the sidecar guards against silently
+    training on a stale corpus)."""
+    import dataclasses
+    import unet_convlstm_tpu.train.cloud_gate as cg
+
+    cfg = dataclasses.replace(
+        CloudGateConfig(), nz=8, nxy=16, n_folders=2, n_samples=4,
+        render_res=16, out_size=16, base_ch=4, epochs=2, batch_size=2,
+        mae_threshold=50.0)
+    work = str(tmp_path / "gate")
+    run_cloud_gate(work, cfg, verbose=False)
+
+    def boom(*a, **k):
+        raise AssertionError("stage B ran despite reuse_dataset")
+
+    # same dataset config, more epochs -> stage B must NOT run
+    monkeypatch.setattr(cg, "render_dataset", boom, raising=False)
+    import unet_convlstm_tpu.datagen.render_batch as rb
+    monkeypatch.setattr(rb, "render_dataset", boom)
+    cfg2 = dataclasses.replace(cfg, epochs=3)
+    res = run_cloud_gate(work, cfg2, verbose=False, reuse_dataset=True)
+    assert len([h for h in res["history"] if "val_mae" in h]) == 3
+
+    # dataset-shaping change -> rebuild is required (and here, loud)
+    cfg3 = dataclasses.replace(cfg, seed=cfg.seed + 1)
+    with pytest.raises(AssertionError, match="stage B ran"):
+        run_cloud_gate(work, cfg3, verbose=False, reuse_dataset=True)
+
+
 def test_cli_geometry_overrides_reach_config(monkeypatch):
     """--seq-len/--n-folders/--n-samples/--epochs/--batch-size must reach
     CloudGateConfig — the knobs that run the gate at the reference's
@@ -103,7 +135,7 @@ def test_cli_geometry_overrides_reach_config(monkeypatch):
 
     seen = {}
 
-    def fake_run(work_dir, cfg, out_json=None):
+    def fake_run(work_dir, cfg, out_json=None, reuse_dataset=False):
         seen.update(cfg.__dict__)
         return {"passed": True}
 

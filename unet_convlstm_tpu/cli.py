@@ -377,7 +377,8 @@ def cmd_cloud_gate(args):
         v = getattr(args, knob)
         if v is not None:
             cfg = dataclasses.replace(cfg, **{knob: v})
-    res = run_cloud_gate(args.work_dir, cfg, out_json=args.out)
+    res = run_cloud_gate(args.work_dir, cfg, out_json=args.out,
+                         reuse_dataset=args.reuse_dataset)
     raise SystemExit(0 if res["passed"] else 1)
 
 
@@ -693,6 +694,12 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--epochs", type=int, default=None)
     cg.add_argument("--batch-size", type=int, default=None,
                     dest="batch_size")
+    cg.add_argument("--reuse-dataset", action="store_true",
+                    dest="reuse_dataset",
+                    help="skip stages B/C/D when the work dir already "
+                         "holds a dataset built with the same "
+                         "dataset-shaping config (training-knob sweeps "
+                         "cost seconds instead of re-rendering)")
     cg.set_defaults(fn=cmd_cloud_gate)
 
     sv = sub.add_parser("serve",

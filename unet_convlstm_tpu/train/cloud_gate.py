@@ -89,6 +89,17 @@ class CloudGateConfig:
     render_batch_size: int = 1
 
 
+# config fields that shape the on-disk dataset (stages B/C/D). Training
+# knobs (epochs, batch_size, base_ch, mask/threshold, use_mask) are
+# deliberately excluded: a work dir built once can be retrained under
+# different training configs via ``reuse_dataset`` without re-rendering.
+DATASET_FIELDS = (
+    "nz", "nxy", "n_folders", "n_samples", "seq_len", "render_res",
+    "out_size", "voxel_size", "w_scale", "seed", "map_type", "ms_orders",
+    "ms_calibrate_spp", "mc_spp", "mc_majorant_cell", "mc_spp_chunk",
+    "render_batch_size")
+
+
 PRODUCTION = CloudGateConfig(
     nz=32, nxy=128, n_folders=8, n_samples=8, seq_len=2,
     render_res=256, out_size=128, base_ch=64, epochs=10, batch_size=4,
@@ -155,9 +166,18 @@ def synthesize_cloud_patches(root: str, cfg: CloudGateConfig) -> None:
 
 def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
                    out_json: Optional[str] = None,
-                   verbose: bool = True) -> dict:
+                   verbose: bool = True,
+                   reuse_dataset: bool = False) -> dict:
     """Full B/C/D + train + eval; returns the result dict (key
-    ``passed``). Writes ``out_json`` when given."""
+    ``passed``). Writes ``out_json`` when given.
+
+    ``reuse_dataset=True`` skips stages B/C/D when ``work_dir`` already
+    holds a dataset built with an identical dataset-shaping config
+    (``DATASET_FIELDS``, recorded in a ``gate_dataset.json`` sidecar) —
+    training-knob sweeps (epochs, batch size, mask) then cost seconds
+    instead of re-rendering the whole stage-B corpus. Any mismatch in
+    the sidecar rebuilds from scratch.
+    """
     from ..data.npz_dataset import NPZSequenceDataset
     from ..datagen.overpass import synthesize_overpass_csv
     from ..datagen.render_batch import render_dataset
@@ -169,49 +189,73 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     cfg = cfg or CloudGateConfig()
     t0 = time.time()
     os.makedirs(work_dir, exist_ok=True)
-    patches = os.path.join(work_dir, "patches")
-    synthesize_cloud_patches(patches, cfg)
-    csv = synthesize_overpass_csv(os.path.join(work_dir, "overpass.csv"),
-                                  n_times=cfg.n_folders, n_satellites=2)
-
-    box_m = cfg.nxy * cfg.voxel_size
-    slice_h = cfg.nz * cfg.voxel_size * 0.5       # mid-cloud W slice
-    # fov sized so the ~600 km nadir camera sees the whole patch
-    fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
-    n_renders = render_dataset(
-        patches, os.path.join(work_dir, "renders"), csv,
-        resolution=(cfg.render_res,) * 2, fov_deg=fov,
-        voxel_size=cfg.voxel_size, ms_orders=cfg.ms_orders,
-        ms_calibrate_spp=cfg.ms_calibrate_spp,
-        mc_spp=cfg.mc_spp,
-        mc_majorant_cell=cfg.mc_majorant_cell,
-        mc_spp_chunk=cfg.mc_spp_chunk,
-        batch_size=cfg.render_batch_size,
-        verbose=verbose)
-    expected = cfg.n_folders * cfg.n_samples * 2
-    if n_renders == 0:
-        # the drivers isolate per-sample failures, so a total wipeout
-        # (e.g. a crashed TPU worker) must fail HERE with the cause, not
-        # as a FileNotFoundError three stages later
-        raise RuntimeError(
-            "stage B wrote no renders — every patch failed (see the "
-            "[render] log lines above for the per-sample errors)")
-    if verbose and n_renders < expected:
-        print(f"[cloud-gate] WARNING: stage B wrote {n_renders}/{expected} "
-              "renders; incomplete sequences are skipped downstream")
-    build_velocity_maps(patches, os.path.join(work_dir, "maps"), csv,
-                        mode="slice", resolution=(cfg.render_res,) * 2,
-                        slice_height_m=slice_h,
-                        reference_plane_z=slice_h, fov=fov,
-                        verbose=verbose)
-    npz = build_trajectory_sequences(
-        os.path.join(work_dir, "renders"), os.path.join(work_dir, "maps"),
-        os.path.join(work_dir, "cloud.npz"), seq_len=cfg.seq_len,
-        num_samples=cfg.n_samples, map_type=cfg.map_type,
-        map_suffix=f"slice_{int(slice_h)}m",
-        out_size=(cfg.out_size,) * 2, verbose=verbose)
+    ds_cfg = {k: getattr(cfg, k) for k in DATASET_FIELDS}
+    sidecar = os.path.join(work_dir, "gate_dataset.json")
+    npz = None
+    if reuse_dataset and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            prev = json.load(f)
+        if prev.get("config") == ds_cfg and os.path.exists(
+                prev.get("npz", "")):
+            npz = prev["npz"]
+            if verbose:
+                print(f"[cloud-gate] reusing dataset {npz} "
+                      "(gate_dataset.json config match; stages B/C/D "
+                      "skipped)")
+        elif verbose:
+            print("[cloud-gate] reuse requested but the existing "
+                  "dataset was built with a different config — "
+                  "rebuilding")
     if npz is None:
-        raise RuntimeError("stage D assembled no sequences")
+        patches = os.path.join(work_dir, "patches")
+        synthesize_cloud_patches(patches, cfg)
+        csv = synthesize_overpass_csv(
+            os.path.join(work_dir, "overpass.csv"),
+            n_times=cfg.n_folders, n_satellites=2)
+
+        box_m = cfg.nxy * cfg.voxel_size
+        slice_h = cfg.nz * cfg.voxel_size * 0.5   # mid-cloud W slice
+        # fov sized so the ~600 km nadir camera sees the whole patch
+        fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
+        n_renders = render_dataset(
+            patches, os.path.join(work_dir, "renders"), csv,
+            resolution=(cfg.render_res,) * 2, fov_deg=fov,
+            voxel_size=cfg.voxel_size, ms_orders=cfg.ms_orders,
+            ms_calibrate_spp=cfg.ms_calibrate_spp,
+            mc_spp=cfg.mc_spp,
+            mc_majorant_cell=cfg.mc_majorant_cell,
+            mc_spp_chunk=cfg.mc_spp_chunk,
+            batch_size=cfg.render_batch_size,
+            verbose=verbose)
+        expected = cfg.n_folders * cfg.n_samples * 2
+        if n_renders == 0:
+            # the drivers isolate per-sample failures, so a total wipeout
+            # (e.g. a crashed TPU worker) must fail HERE with the cause,
+            # not as a FileNotFoundError three stages later
+            raise RuntimeError(
+                "stage B wrote no renders — every patch failed (see the "
+                "[render] log lines above for the per-sample errors)")
+        if verbose and n_renders < expected:
+            print(f"[cloud-gate] WARNING: stage B wrote "
+                  f"{n_renders}/{expected} renders; incomplete sequences "
+                  "are skipped downstream")
+        build_velocity_maps(patches, os.path.join(work_dir, "maps"), csv,
+                            mode="slice",
+                            resolution=(cfg.render_res,) * 2,
+                            slice_height_m=slice_h,
+                            reference_plane_z=slice_h, fov=fov,
+                            verbose=verbose)
+        npz = build_trajectory_sequences(
+            os.path.join(work_dir, "renders"),
+            os.path.join(work_dir, "maps"),
+            os.path.join(work_dir, "cloud.npz"), seq_len=cfg.seq_len,
+            num_samples=cfg.n_samples, map_type=cfg.map_type,
+            map_suffix=f"slice_{int(slice_h)}m",
+            out_size=(cfg.out_size,) * 2, verbose=verbose)
+        if npz is None:
+            raise RuntimeError("stage D assembled no sequences")
+        with open(sidecar, "w") as f:
+            json.dump({"config": ds_cfg, "npz": npz}, f, indent=2)
 
     tc = TrainConfig(npz_path=npz, batch_size=cfg.batch_size,
                      epochs=cfg.epochs, checkpoint_dir="", mesh_data=1,
