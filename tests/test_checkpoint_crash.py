@@ -73,3 +73,47 @@ def test_crash_on_first_save_uses_staged_meta(tmp_path):
     assert latest_checkpoint(d) == os.path.join(d, "m")  # .next counts
     state, meta = restore_checkpoint(os.path.join(d, "m"))
     assert meta["epoch"] == 1
+
+
+def test_save_never_destroys_old_state_before_commit(tmp_path, monkeypatch):
+    """Round-3 durability fix: the previous `state` must survive a save
+    that dies before its Orbax commit. The old force=True protocol
+    deleted `state` first and wrote its replacement after — a kill in
+    between destroyed the only copy (observed live 2026-08-18: a
+    SIGTERM'd resume left only `state.orbax-checkpoint-tmp`)."""
+    d = str(tmp_path)
+    save_checkpoint(d, "m", _state(1), {"epoch": 1}, wait=True)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated death before commit")
+
+    monkeypatch.setattr(ckpt_mod._checkpointer(), "save", boom)
+    try:
+        save_checkpoint(d, "m", _state(2), {"epoch": 2}, wait=False)
+    except RuntimeError:
+        pass
+    _simulate_process_death()
+
+    state, meta = restore_checkpoint(os.path.join(d, "m"))
+    assert meta["epoch"] == 1
+    assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 1.0
+
+
+def test_crash_between_commit_and_swap_rolls_forward(tmp_path):
+    """Process dies AFTER the new state committed to `state.next` but
+    BEFORE the swap: restore must adopt the newer committed pair."""
+    d = str(tmp_path)
+    save_checkpoint(d, "m", _state(1), {"epoch": 1}, wait=True)
+
+    # save 2 commits; simulate death before _finalize applies the swap
+    save_checkpoint(d, "m", _state(2), {"epoch": 2}, wait=False)
+    ckpt_mod._checkpointer().wait_until_finished()
+    _simulate_process_death()
+    m = os.path.join(d, "m")
+    assert os.path.isdir(os.path.join(m, "state.next"))  # committed
+    assert os.path.isdir(os.path.join(m, "state"))       # old survives
+
+    state, meta = restore_checkpoint(m)
+    assert meta["epoch"] == 2
+    assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 2.0
+    assert not os.path.exists(os.path.join(m, "state.next"))

@@ -303,3 +303,39 @@ def test_fit_guard_compounds_lr_cut_on_consecutive_failures(tiny_npz,
     # the consecutive counter
     assert healthy[-1]["lr"] == pytest.approx(cfg.lr * cfg.plateau_factor**2)
     assert all(np.isfinite(r["val_loss"]) for r in healthy)
+
+
+def test_guard_snapshot_device_matches_host(tiny_npz, tmp_path):
+    """The HBM-resident rollback snapshot (guard_snapshot='device', the
+    default — a device copy instead of a ~45 s/epoch full-state
+    device_get through the TPU tunnel) must be behaviorally identical to
+    the host-RAM path: same guard events, same final params bit-for-bit."""
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.train.loop import fit
+
+    outs = {}
+    for mode in ("device", "host"):
+        cfg = _tiny_cfg(tiny_npz, tmp_path / mode, guard=True, epochs=4,
+                        guard_snapshot=mode)
+        ds = NPZSequenceDataset(cfg.npz_path)
+        poisoned = _PoisonEpoch(ds, poison_epoch=2, calls_per_epoch=3)
+        outs[mode] = fit(cfg, dataset=poisoned, verbose=False)
+
+    ev_d = [r["epoch"] for r in outs["device"]["history"]
+            if "guard_event" in r]
+    ev_h = [r["epoch"] for r in outs["host"]["history"]
+            if "guard_event" in r]
+    assert ev_d == ev_h == [2]
+    pd = jax.tree_util.tree_leaves(outs["device"]["state"]["params"])
+    ph = jax.tree_util.tree_leaves(outs["host"]["state"]["params"])
+    for a, b in zip(pd, ph):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_guard_snapshot_bad_value_rejected(tiny_npz, tmp_path):
+    from unet_convlstm_tpu.train.loop import fit
+
+    cfg = _tiny_cfg(tiny_npz, tmp_path, guard=True,
+                    guard_snapshot="hbm")
+    with pytest.raises(ValueError, match="guard_snapshot"):
+        fit(cfg, verbose=False)

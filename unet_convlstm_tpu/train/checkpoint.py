@@ -26,7 +26,10 @@ import orbax.checkpoint as ocp
 
 
 _CKPTR: Optional[ocp.AsyncCheckpointer] = None
-_PENDING_META: list = []  # (tmp_path, final_path) renamed after commit
+# ("state"|"meta", tmp_path, final_path) — applied FIFO after the async
+# Orbax commit; a save appends its state swap BEFORE its meta finalize so
+# the on-disk state is never newer than its metadata
+_PENDING_META: list = []
 
 
 def _checkpointer() -> ocp.AsyncCheckpointer:
@@ -37,10 +40,36 @@ def _checkpointer() -> ocp.AsyncCheckpointer:
 
 
 def _finalize_pending_meta() -> None:
+    import shutil
+
     while _PENDING_META:
-        tmp, final = _PENDING_META.pop()
-        if os.path.exists(tmp):
+        kind, tmp, final = _PENDING_META.pop(0)
+        if not os.path.exists(tmp):
+            continue
+        if kind == "state":
+            # the new state is fully committed under ``state.next`` —
+            # only now may the previous ``state`` be replaced
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+        else:
             os.replace(tmp, final)
+
+
+def _recover_staged_state(path: str) -> None:
+    """Cross-process crash recovery: a committed-but-never-swapped
+    ``state.next`` (the process died between the Orbax commit and the
+    swap) is rolled forward so the newest durable save wins. The rename
+    bumps the ``state`` dir's ctime, which makes the metadata adoption
+    logic below pair it with its staged ``meta.json.next``."""
+    import shutil
+
+    state_final = os.path.join(path, "state")
+    state_next = state_final + ".next"
+    if os.path.isdir(state_next):
+        if os.path.isdir(state_final):
+            shutil.rmtree(state_final)
+        os.rename(state_next, state_final)
 
 
 def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
@@ -49,14 +78,18 @@ def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
     ``ckpt_dir/name`` plus a ``meta.json`` (config, epoch, val_loss,
     norm_stats, scheduler).
 
-    Crash consistency: the state save is async and Orbax-atomic. The new
-    metadata is staged as ``meta.json.next`` BEFORE the state save starts,
-    so the Orbax commit (a directory rename, which bumps the ``state``
-    dir's ctime) is always strictly newer than its staged metadata.
-    ``restore_checkpoint`` uses that ordering to decide whether a
-    never-finalized ``.next`` belongs to the committed state (crash after
-    commit → adopt it) or to an aborted save (crash before commit → keep
-    the old ``meta.json``), closing the stale-metadata window for
+    Crash consistency: the state save is async, Orbax-atomic, and — since
+    round 3 — STAGED: it writes to ``state.next`` and the previous
+    ``state`` is replaced only after the new one is fully committed (an
+    unstaged ``force=True`` save deletes the old state before the new one
+    exists, so a kill mid-save destroyed the only copy — observed live
+    2026-08-18). The new metadata is staged as ``meta.json.next`` BEFORE
+    the state save starts, so the state swap (a rename, which bumps the
+    ``state`` dir's ctime) is always strictly newer than its staged
+    metadata. ``restore_checkpoint`` uses that ordering to decide whether
+    a never-finalized ``.next`` belongs to the committed state (crash
+    after commit → adopt it) or to an aborted save (crash before commit →
+    keep the old ``meta.json``), closing the stale-metadata window for
     ``wait=False`` saves that advisor round 1 flagged."""
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -73,9 +106,13 @@ def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
         json.dump(metadata, f, indent=2, default=float)
         f.flush()
         os.fsync(f.fileno())
-    _PENDING_META.append((meta_tmp, meta_final))
-    ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state),
-               force=True)
+    state_final = os.path.join(path, "state")
+    state_next = state_final + ".next"
+    _PENDING_META.append(("state", state_next, state_final))
+    _PENDING_META.append(("meta", meta_tmp, meta_final))
+    # force=True only ever clears a stale ``state.next`` leftover — the
+    # live ``state`` is untouched until the swap above runs post-commit
+    ckptr.save(state_next, args=ocp.args.StandardSave(state), force=True)
     if wait:
         ckptr.wait_until_finished()
         _finalize_pending_meta()
@@ -155,6 +192,7 @@ def restore_checkpoint(path: str,
     path = os.path.abspath(path)
     _checkpointer().wait_until_finished()
     _finalize_pending_meta()
+    _recover_staged_state(path)
     ckptr = ocp.StandardCheckpointer()
     if state_template is not None:
         # read metadata only — np.asarray would device-transfer every leaf

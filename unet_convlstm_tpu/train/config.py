@@ -52,6 +52,13 @@ class TrainConfig:
     guard: bool = False           # epoch-level rollback on NaN/spiked loss
     guard_spike_factor: float = 10.0  # val loss > factor x median → rollback
     guard_max_events: int = 8     # rollback budget before giving up
+    # where the guard keeps its rollback snapshot. "device" copies the
+    # train state inside HBM (milliseconds; costs one extra state copy of
+    # HBM). "host" pulls it to host RAM (free HBM, but a full params+
+    # optimizer device_get per epoch — ~45 s/epoch for the production
+    # cloud model through the TPU tunnel). Use "host" only when HBM is
+    # within one state copy of full.
+    guard_snapshot: str = "device"
     skip_nonfinite_updates: Optional[int] = None  # on-device grad-NaN skip:
     # max consecutive skipped steps (optax.apply_if_finite), None = off
 

@@ -39,6 +39,34 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+@jax.jit
+def _device_copy(tree):
+    """Distinct-buffer copy of a state tree, on device (shardings kept).
+
+    The copy must be a real one: the working state's buffers are DONATED
+    into every train step, so a mere reference would be invalidated by
+    the next update."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+def _snap_take(state, mode: str):
+    """Guard rollback snapshot of the train state.
+
+    ``device``: an HBM-resident copy (milliseconds; one extra state copy
+    of HBM). ``host``: device_get to host RAM — free HBM, but the full
+    params+optimizer transfer costs ~45 s/epoch for the production cloud
+    model through the TPU tunnel (measured 2026-08-18, docs/PERF.md)."""
+    return jax.device_get(state) if mode == "host" else _device_copy(state)
+
+
+def _snap_restore(snap, state_shard, mode: str):
+    if mode == "host":
+        return jax.device_put(snap, state_shard)
+    # copy again: the restored state is donated onward, and the retained
+    # snapshot must survive for a possible second rollback
+    return _device_copy(snap)
+
+
 def _append_history_csv(ckpt_dir: str, row: Dict[str, Any],
                         filename: str = "history.csv") -> None:
     """Persistent per-epoch metrics log (the reference only prints,
@@ -174,9 +202,13 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         log(f"resumed from {resume_from} at epoch {start_epoch} "
             f"(best val {best_val:.4f}, lr {scheduler.lr:.2e})")
 
-    # last healthy end-of-epoch (state, scheduler, epoch), kept in host RAM
-    # for guard rollback
-    snapshot = (jax.device_get(state), scheduler.state_dict(),
+    if cfg.guard_snapshot not in ("device", "host"):
+        raise ValueError(f"guard_snapshot must be 'device' or 'host', "
+                         f"got {cfg.guard_snapshot!r}")
+    # last healthy end-of-epoch (state, scheduler, epoch) for guard
+    # rollback — HBM-resident copy by default, host RAM via config
+    snapshot = (_snap_take(state, cfg.guard_snapshot),
+                scheduler.state_dict(),
                 start_epoch - 1) if guard is not None else None
 
     bat_shard = batch_sharding(mesh)
@@ -286,7 +318,8 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                                  "guard": {"recent": [], "n_events": 0,
                                            "consecutive": 0}}, wait=True)
                         raise
-                    state = jax.device_put(snapshot[0], state_shard)
+                    state = _snap_restore(snapshot[0], state_shard,
+                                          cfg.guard_snapshot)
                     scheduler.load_state_dict(snapshot[1])
                     # compound the cut across CONSECUTIVE rollbacks — the
                     # snapshot scheduler would otherwise reset the LR and every
@@ -338,8 +371,8 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                 f"| lr={lr:.2e} ({tr_time:.1f}s)")
 
             if guard is not None:  # this epoch is healthy — new rollback point
-                snapshot = (jax.device_get(state), scheduler.state_dict(),
-                            epoch)
+                snapshot = (_snap_take(state, cfg.guard_snapshot),
+                            scheduler.state_dict(), epoch)
 
             if val_loss < best_val:
                 best_val = val_loss
