@@ -164,6 +164,33 @@ def test_convert_checkpoint_cli(tmp_path, rng):
     assert y.shape == (1, 2, 32, 32, 1)
 
 
+def test_convert_checkpoint_cli_infers_flags_from_weights(tmp_path):
+    """A .pt whose config omits the architecture flags (hand-rolled or a
+    raw state_dict) must still convert to a checkpoint that APPLIES: the
+    registry would otherwise back-fill use_skip_lstm=True/base_ch=64
+    (its production defaults) against skip-LSTM-less base_ch-8 weights
+    and fail with KeyError 'skip3' at eval (observed live 2026-08-18)."""
+    ref = _load_ref_unet()
+    torch.manual_seed(2)
+    model = ref.TemporalUNetDualView(in_channels_per_sat=1, out_channels=1,
+                                     base_ch=8)  # reference defaults:
+    # use_skip_lstm=False, use_attention=False (unet.py:132)
+    pt = str(tmp_path / "ref_minimal.pt")
+    torch.save({"model_state": model.state_dict(),
+                "config": {"in_channels_per_sat": 1, "out_channels": 1,
+                           "base_ch": 8}}, pt)
+    from unet_convlstm_tpu.cli import main
+    main(["convert-checkpoint", "--torch-ckpt", pt,
+          "--out-dir", str(tmp_path / "ck")])
+    from unet_convlstm_tpu.cli import _load_checkpoint_for_eval
+    variables, apply_fn, init_state, meta, _ = _load_checkpoint_for_eval(
+        str(tmp_path / "ck" / "custom_converted"))
+    assert meta["config"]["use_skip_lstm"] is False
+    assert meta["config"]["base_ch"] == 8
+    y, _, _ = apply_fn(variables, jnp.zeros((1, 2, 32, 32, 2)), train=False)
+    assert y.shape == (1, 2, 32, 32, 1)
+
+
 @pytest.mark.parametrize("use_attention,use_skip_lstm",
                          [(False, True), (True, True)])
 def test_export_to_reference_strict_load_and_parity(rng, use_attention,

@@ -332,14 +332,34 @@ def cmd_convert_checkpoint(args):
     sd = ckpt.get("model_state", ckpt)
     cfg = ckpt.get("config", {"type": args.model_type})
     model_type = cfg.get("type", args.model_type)
+    cfg = dict(cfg)
     if model_type == "custom":
         variables = convert_temporal_unet_checkpoint(sd)
+        # The weights are ground truth for the architecture flags: a raw
+        # state_dict (no config blob) or a minimal config would otherwise
+        # be rebuilt with the registry's production defaults
+        # (use_skip_lstm=True, base_ch=64 — registry.py:30-33) and fail
+        # at apply time with missing/mismatched params.
+        structural = {
+            "use_skip_lstm": "lstm_skip3.layers.0.conv.weight" in sd,
+            "use_attention": "attention.conv.weight" in sd,
+            "lstm_layers": sum(
+                1 for k in sd
+                if k.startswith("temporal.layers.") and
+                k.endswith(".conv.weight")),
+            "base_ch": int(sd["inc.net.0.weight"].shape[0]),
+        }
+        for k, v in structural.items():
+            if k in cfg and cfg[k] != v:
+                print(f"WARNING: checkpoint config says {k}={cfg[k]} but "
+                      f"the weights say {k}={v}; trusting the weights")
+            cfg[k] = v
     elif model_type == "resnet18":
         variables = convert_pretrained_temporal_unet_checkpoint(sd)
     else:
         raise SystemExit(f"unknown model type {model_type!r}")
     state = {"params": variables["params"], "stats": variables["stats"]}
-    meta = {"config": dict(cfg),
+    meta = {"config": cfg,
             "val_loss": float(ckpt.get("val_loss", float("nan"))),
             "epoch": int(ckpt.get("epoch", 0)),
             "converted_from": os.path.abspath(args.torch_ckpt)}
