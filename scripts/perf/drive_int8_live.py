@@ -15,15 +15,29 @@ import numpy as np
 
 ckpt, npz = sys.argv[1], sys.argv[2]
 
-# 1. evaluate --int8 via the CLI surface (same entry the user types)
+# 1. evaluate via the CLI surface (same entry the user types), bf16 then
+# --int8, and hold the quantized MAE to the tested PTQ-noise contract
+# (tests/test_quant.py::test_evaluate_int8_cli uses the same bound)
 from unet_convlstm_tpu.cli import main  # noqa: E402
+
+print("== evaluate (bf16 baseline) ==", flush=True)
+main(["evaluate", "--checkpoint", ckpt, "--npz", npz,
+      "--out-dir", "/tmp/bf16_eval", "--batch-size", "16"])
+mae_bf16 = json.load(open("/tmp/bf16_eval/report.json"))["mae"]
 
 print("== evaluate --int8 ==", flush=True)
 main(["evaluate", "--checkpoint", ckpt, "--npz", npz,
       "--out-dir", "/tmp/int8_eval", "--batch-size", "16", "--int8"])
 rep = json.load(open("/tmp/int8_eval/report.json"))
-mae_i8 = rep["mae"] if "mae" in rep else rep
+mae_i8 = rep["mae"]
 print(f"int8 evaluate report: {rep}", flush=True)
+delta = abs(mae_i8 - mae_bf16)
+bound = 0.10 * max(mae_bf16, 1.0)
+print(f"MAE bf16={mae_bf16:.4f} int8={mae_i8:.4f} "
+      f"|delta|={delta:.4f} (bound {bound:.4f})", flush=True)
+assert delta < bound, (
+    f"int8 evaluate MAE {mae_i8} strays beyond PTQ noise of bf16 "
+    f"{mae_bf16} (|delta| {delta} >= {bound})")
 
 # 2. serve --int8: real HTTP server + streamed frames
 from unet_convlstm_tpu.serve import StreamingPredictor, serve_http  # noqa

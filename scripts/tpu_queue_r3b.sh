@@ -12,44 +12,29 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export OMP_NUM_THREADS=1 MKL_NUM_THREADS=1
+. "$(dirname "$0")/tpu_queue_lib.sh"
 
 START="${1:-1}"
-echo "$$" > /tmp/tpu_queue.running
-trap 'rm -f /tmp/tpu_queue.running' EXIT
-
-step() {  # step <n> <name> <timeout-s> <cmd...>
-    local n="$1" name="$2" tmo="$3"; shift 3
-    [ "$n" -lt "$START" ] && return 0
-    echo "=== step $n: $name ($(date -u +%H:%M:%S)) ===" | tee -a /tmp/q_queue.log
-    timeout -k 30 "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
-    local rc=$?
-    echo "=== step $n: $name rc=$rc ($(date -u +%H:%M:%S)) ===" | tee -a /tmp/q_queue.log
-    if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
-        echo "QUEUE ABORTED: step $n ($name) hung — tunnel likely wedged" \
-            | tee -a /tmp/q_queue.log
-        exit 124
-    fi
-    return 0
-}
+tpu_queue_acquire
 
 # 1. Pallas MC sampler: PRNG validity + win/lose measurement (VERDICT #7)
-step 1 pallas_sampler 2400 python scripts/perf/bench_pallas_sampler.py 16
+tpu_queue_step 1 pallas_sampler 2400 python scripts/perf/bench_pallas_sampler.py 16
 
 # 2. MC iteration cost classes (drives the Pallas verdict writeup)
-step 2 mc_breakdown 1500 python scripts/perf/bench_mc_breakdown.py
+tpu_queue_step 2 mc_breakdown 1500 python scripts/perf/bench_mc_breakdown.py
 
 # 3. remat sweep incl. B=64/B=96 (VERDICT #8)
-step 3 cost_sweep 2700 python scripts/perf/cost_cloud.py sweep
+tpu_queue_step 3 cost_sweep 2700 python scripts/perf/cost_cloud.py sweep
 
 # 4. pure-MC production gate golden (VERDICT #4)
-step 4 gate_mc 5400 python -m unet_convlstm_tpu cloud-gate \
+tpu_queue_step 4 gate_mc 5400 python -m unet_convlstm_tpu cloud-gate \
     --work-dir /tmp/cgate_mc --production \
     --mc-spp 24 --mc-majorant-cell 16 --mc-spp-chunk 8 \
     --out results/cloud_synth_golden_r3_mc.json
 
 # 5. WVU variant of the T=12 contract gate (30 epochs up front — the
 #    W-map run showed 10 is undertrained at this temporal depth)
-step 5 gate_T12_wvu 5400 python -m unet_convlstm_tpu cloud-gate \
+tpu_queue_step 5 gate_T12_wvu 5400 python -m unet_convlstm_tpu cloud-gate \
     --work-dir /tmp/cgate_T12_wvu --production --wvu \
     --seq-len 12 --n-folders 16 --n-samples 16 \
     --epochs 30 \

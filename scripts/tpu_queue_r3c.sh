@@ -12,31 +12,16 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export OMP_NUM_THREADS=1 MKL_NUM_THREADS=1
+. "$(dirname "$0")/tpu_queue_lib.sh"
 
 START="${1:-1}"
 CKPT="${2:-/tmp/tmp.IjOfpZJTRN/ckpts/custom_best}"
 NPZ="${3:-/tmp/tmp.IjOfpZJTRN/mm.npz}"
+QUEUE_TAG=C
+tpu_queue_acquire
 
-while [ -f /tmp/tpu_queue.running ]; do sleep 20; done
-echo "$$" > /tmp/tpu_queue.running
-trap 'rm -f /tmp/tpu_queue.running' EXIT
-
-step() {  # step <n> <name> <timeout-s> <cmd...>
-    local n="$1" name="$2" tmo="$3"; shift 3
-    [ "$n" -lt "$START" ] && return 0
-    echo "=== step C$n: $name ($(date -u +%H:%M:%S)) ===" | tee -a /tmp/q_queue.log
-    timeout -k 30 "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
-    local rc=$?
-    echo "=== step C$n: $name rc=$rc ($(date -u +%H:%M:%S)) ===" | tee -a /tmp/q_queue.log
-    if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
-        echo "QUEUE C ABORTED: step $n ($name) hung" | tee -a /tmp/q_queue.log
-        exit 124
-    fi
-    return 0
-}
-
-step 1 mc_rng 900 python scripts/perf/bench_mc_rng.py 16
-step 2 gather_probe 600 python scripts/perf/probe_pallas_gather.py
-step 3 int8_live 900 python scripts/perf/drive_int8_live.py "$CKPT" "$NPZ"
+tpu_queue_step 1 mc_rng 900 python scripts/perf/bench_mc_rng.py 16
+tpu_queue_step 2 gather_probe 600 python scripts/perf/probe_pallas_gather.py
+tpu_queue_step 3 int8_live 900 python scripts/perf/drive_int8_live.py "$CKPT" "$NPZ"
 
 echo "QUEUE C COMPLETE $(date -u +%H:%M:%S)" | tee -a /tmp/q_queue.log

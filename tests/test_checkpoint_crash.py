@@ -99,6 +99,42 @@ def test_save_never_destroys_old_state_before_commit(tmp_path, monkeypatch):
     assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 1.0
 
 
+def test_failed_save_in_live_process_never_promotes_its_meta(tmp_path,
+                                                             monkeypatch):
+    """Round-3 review finding (reproduced live): a save whose Orbax commit
+    raises leaves its staged ``meta.json.next`` and pending entries behind
+    in a process that KEEPS RUNNING; the next finalize pass (another save,
+    wait_for_saves, or restore) must drop that orphan instead of promoting
+    new metadata over the old state — which made restore return epoch-1
+    params labeled epoch 2."""
+    d = str(tmp_path)
+    save_checkpoint(d, "m", _state(1), {"epoch": 1}, wait=True)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated serialization failure")
+
+    ckptr = ckpt_mod._checkpointer()
+    monkeypatch.setattr(ckptr, "save", boom)
+    try:
+        save_checkpoint(d, "m", _state(2), {"epoch": 2}, wait=False)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()  # process recovers and carries on
+
+    # any later finalize pass — here the explicit drain — must pair-check
+    ckpt_mod.wait_for_saves()
+    state, meta = restore_checkpoint(os.path.join(d, "m"))
+    assert meta["epoch"] == 1
+    assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 1.0
+    assert not os.path.exists(os.path.join(d, "m", "meta.json.next"))
+
+    # and a subsequent healthy save still works end-to-end
+    save_checkpoint(d, "m", _state(3), {"epoch": 3}, wait=True)
+    state, meta = restore_checkpoint(os.path.join(d, "m"))
+    assert meta["epoch"] == 3
+    assert float(np.asarray(state["params"]["w"]).ravel()[0]) == 3.0
+
+
 def test_crash_between_commit_and_swap_rolls_forward(tmp_path):
     """Process dies AFTER the new state committed to `state.next` but
     BEFORE the swap: restore must adopt the newer committed pair."""

@@ -191,6 +191,31 @@ def test_convert_checkpoint_cli_infers_flags_from_weights(tmp_path):
     assert y.shape == (1, 2, 32, 32, 1)
 
 
+def test_convert_checkpoint_cli_infers_channels_from_weights(tmp_path):
+    """Round-3 review finding: the structural inference must also derive
+    out_channels (the wvu 3-channel family) and in_channels_per_sat — a
+    RAW multi-channel state_dict (no config blob at all) otherwise gets
+    the registry's 1-channel defaults embedded and every downstream
+    consumer (init_state, serve validation, evaluate) mismatches the
+    actual weights."""
+    ref = _load_ref_unet()
+    torch.manual_seed(3)
+    model = ref.TemporalUNetDualView(in_channels_per_sat=2, out_channels=3,
+                                     base_ch=8)
+    pt = str(tmp_path / "ref_raw_wvu.pt")
+    torch.save(model.state_dict(), pt)  # raw state_dict, no config at all
+    from unet_convlstm_tpu.cli import main
+    main(["convert-checkpoint", "--torch-ckpt", pt,
+          "--out-dir", str(tmp_path / "ck")])
+    from unet_convlstm_tpu.cli import _load_checkpoint_for_eval
+    variables, apply_fn, init_state, meta, _ = _load_checkpoint_for_eval(
+        str(tmp_path / "ck" / "custom_converted"))
+    assert meta["config"]["out_channels"] == 3
+    assert meta["config"]["in_channels_per_sat"] == 2
+    y, _, _ = apply_fn(variables, jnp.zeros((1, 2, 32, 32, 4)), train=False)
+    assert y.shape == (1, 2, 32, 32, 3)
+
+
 @pytest.mark.parametrize("use_attention,use_skip_lstm",
                          [(False, True), (True, True)])
 def test_export_to_reference_strict_load_and_parity(rng, use_attention,

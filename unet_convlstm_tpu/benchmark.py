@@ -35,7 +35,11 @@ import numpy as np
 
 REF_FRAMES_PER_SEC = 4.69  # reference torch, build host (BASELINE.md)
 
-B, T, H = 64, 10, 64
+# The metric fixes the model/task/sequence (mnist64_seq10); batch size is
+# a free throughput knob (BENCH_B overrides for sweeps —
+# scripts/perf/bench_batch_sweep.py).
+B = int(os.environ.get("BENCH_B", "64"))
+T, H = 10, 64
 UNROLL = 10  # full scan unroll over the sequence (+10% on v5e)
 WARMUP, ITERS = 3, 20
 

@@ -348,6 +348,11 @@ def cmd_convert_checkpoint(args):
                 if k.startswith("temporal.layers.") and
                 k.endswith(".conv.weight")),
             "base_ch": int(sd["inc.net.0.weight"].shape[0]),
+            # the first conv sees in_channels_per_sat*2 stacked satellite
+            # channels (reference unet.py:134); the 1x1 head carries the
+            # output-channel count (w vs wvu family, unet.py:159)
+            "in_channels_per_sat": int(sd["inc.net.0.weight"].shape[1]) // 2,
+            "out_channels": int(sd["outc.conv.weight"].shape[0]),
         }
         for k, v in structural.items():
             if k in cfg and cfg[k] != v:

@@ -26,9 +26,12 @@ import orbax.checkpoint as ocp
 
 
 _CKPTR: Optional[ocp.AsyncCheckpointer] = None
-# ("state"|"meta", tmp_path, final_path) — applied FIFO after the async
-# Orbax commit; a save appends its state swap BEFORE its meta finalize so
-# the on-disk state is never newer than its metadata
+# (state_next, state_final, meta_tmp, meta_final) — one PAIRED entry per
+# save, applied FIFO after the async Orbax commit. The state swap runs
+# before its meta promote, and the meta promote is conditional on the
+# swap: a save whose Orbax commit failed leaves no ``state.next``, and
+# its staged ``meta.json.next`` must then be DROPPED, not promoted —
+# otherwise the old state gets relabeled with the new save's metadata.
 _PENDING_META: list = []
 
 
@@ -43,17 +46,20 @@ def _finalize_pending_meta() -> None:
     import shutil
 
     while _PENDING_META:
-        kind, tmp, final = _PENDING_META.pop(0)
-        if not os.path.exists(tmp):
-            continue
-        if kind == "state":
+        state_next, state_final, meta_tmp, meta_final = _PENDING_META.pop(0)
+        if os.path.isdir(state_next):
             # the new state is fully committed under ``state.next`` —
-            # only now may the previous ``state`` be replaced
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.rename(tmp, final)
-        else:
-            os.replace(tmp, final)
+            # only now may the previous ``state`` be replaced, and only
+            # a completed swap earns the paired metadata promote
+            if os.path.isdir(state_final):
+                shutil.rmtree(state_final)
+            os.rename(state_next, state_final)
+            if os.path.exists(meta_tmp):
+                os.replace(meta_tmp, meta_final)
+        elif os.path.exists(meta_tmp):
+            # the paired state never committed (failed/aborted save) —
+            # the staged metadata describes a state that does not exist
+            os.remove(meta_tmp)
 
 
 def _recover_staged_state(path: str) -> None:
@@ -108,8 +114,7 @@ def save_checkpoint(ckpt_dir: str, name: str, state: Dict[str, Any],
         os.fsync(f.fileno())
     state_final = os.path.join(path, "state")
     state_next = state_final + ".next"
-    _PENDING_META.append(("state", state_next, state_final))
-    _PENDING_META.append(("meta", meta_tmp, meta_final))
+    _PENDING_META.append((state_next, state_final, meta_tmp, meta_final))
     # force=True only ever clears a stale ``state.next`` leftover — the
     # live ``state`` is untouched until the swap above runs post-commit
     ckptr.save(state_next, args=ocp.args.StandardSave(state), force=True)
