@@ -124,6 +124,34 @@ def test_viewers(tmp_path, rng):
     assert "timestamp" in desc
 
 
+def test_describe_nc_and_inspect_cli(tmp_path, rng, capsys):
+    """read_nc.py analog: dims/variables summary with coordinate values."""
+    import json
+    h5py = pytest.importorskip("h5py")
+    from unet_convlstm_tpu.viz.viewers import describe_nc
+
+    nc = str(tmp_path / "bomex_0000000100.nc")
+    with h5py.File(nc, "w") as f:
+        f["x"] = (20.0 * np.arange(32)).astype(np.float64)
+        f["z"] = (20.0 * np.arange(6)).astype(np.float64)
+        f["QN"] = rng.random((1, 6, 32, 32))
+    desc = describe_nc(nc)
+    assert desc["QN"]["shape"] == (1, 6, 32, 32)
+    assert desc["z"]["values"][:2] == [0.0, 20.0]  # read_nc.py prints z
+    assert desc["x"]["max"] == 20.0 * 31
+
+    from unet_convlstm_tpu.cli import main
+    main(["inspect", nc])
+    out = json.loads(capsys.readouterr().out)
+    assert out["QN"]["shape"] == [1, 6, 32, 32]
+
+    with open(tmp_path / "p.pkl", "wb") as f:
+        pickle.dump({"w_map": np.zeros((8, 8), np.float32)}, f)
+    main(["inspect", str(tmp_path / "p.pkl")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["w_map"]["shape"] == [8, 8]
+
+
 def test_legacy_viewer(tmp_path, rng):
     import pickle
     from unet_convlstm_tpu.viz.legacy_viewer import (

@@ -240,6 +240,18 @@ def cmd_stats(args):
     print(json.dumps(stats, indent=2))
 
 
+def cmd_inspect(args):
+    """Key/shape/stats browser for pipeline artifacts — the reference's
+    read_pkl.py / read_nc.py inspection scripts as one subcommand."""
+    from .viz.viewers import describe_nc, describe_pkl
+
+    if args.path.endswith(".nc"):
+        desc = describe_nc(args.path)
+    else:
+        desc = describe_pkl(args.path)
+    print(json.dumps(desc, indent=2, default=str))
+
+
 def cmd_convert_checkpoint(args):
     """Migrate a reference torch checkpoint ({model_state, config, ...},
     reference main.py:307-323) into this framework's checkpoint format —
@@ -659,6 +671,11 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out-dir", default=None)
     st.set_defaults(fn=cmd_stats)
 
+    ip = sub.add_parser("inspect", help="pkl/nc artifact browser "
+                        "(read_pkl.py / read_nc.py)")
+    ip.add_argument("path", help=".pkl or .nc file to summarize")
+    ip.set_defaults(fn=cmd_inspect)
+
     cc = sub.add_parser("convert-checkpoint",
                         help="migrate a reference torch .pt checkpoint "
                              "(or export ours back with --to-torch)")
@@ -756,7 +773,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except BrokenPipeError:
+        # stdout piped into a pager/head that exited — standard CLI
+        # convention is a quiet exit, not a traceback
+        import sys
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

@@ -1,7 +1,8 @@
 """Sample viewers — parity with the reference's misc inspection scripts:
 Moving-MNIST digit+velocity animation (digits/visualizing_dataset.py),
-single-sample panel (show_one_sample.py), pkl browser (read_pkl.py).
-Headless: animations are written as mp4, panels as PNG.
+single-sample panel (show_one_sample.py), pkl browser (read_pkl.py),
+netCDF browser (read_nc.py). Headless: animations are written as mp4,
+panels as PNG, browsers return dicts (CLI ``inspect`` prints them).
 """
 
 from __future__ import annotations
@@ -72,6 +73,32 @@ def show_sample_panel(npz_path: str, out_path: str, sample_idx: int = 0,
     fig.savefig(out_path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def describe_nc(nc_path: str, coord_values: int = 16) -> dict:
+    """Variable/dimension summary of a BOMEX .nc (reference read_nc.py:
+    lists dimensions + variables and prints coordinate arrays). Small 1-D
+    coordinate variables include their leading values; bulk variables get
+    shape/dtype only (no full-volume load)."""
+    from ..datagen.lespatch import _NCFile
+
+    nc = _NCFile(nc_path)
+    try:
+        names = (list(nc._nc.variables) if nc._nc is not None
+                 else list(nc._h5))
+        out = {}
+        for name in names:
+            v = nc.var(name)
+            entry = {"shape": tuple(v.shape), "dtype": str(v.dtype)}
+            if len(v.shape) == 1 and v.shape[0] <= 4096:
+                vals = np.asarray(v[:])
+                entry["values"] = vals[:coord_values].tolist()
+                entry["min"] = float(vals.min())
+                entry["max"] = float(vals.max())
+            out[name] = entry
+        return out
+    finally:
+        nc.close()
 
 
 def describe_pkl(pkl_path: str) -> dict:
