@@ -27,9 +27,14 @@ batches = [int(b) for b in sys.argv[1:]] or [64, 96, 128, 192, 256]
 results = {}
 for b in batches:
     env = dict(os.environ, BENCH_B=str(b))
-    proc = subprocess.run(
-        [sys.executable, "-m", "unet_convlstm_tpu.benchmark", "--child"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "unet_convlstm_tpu.benchmark", "--child"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        results[b] = {"error": "timeout (HBM thrash or wedged dispatch)"}
+        print(f"B={b:4d}  TIMEOUT after 900s", flush=True)
+        continue
     line = next((ln for ln in reversed(proc.stdout.strip().splitlines())
                  if ln.startswith("{")), None)
     if proc.returncode != 0 or line is None:
