@@ -14,13 +14,15 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
            scripts/perf/bench_batch_sweep.py [B ...]
 """
 
-import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+from unet_convlstm_tpu.benchmark import _parse_child_result  # noqa: E402
 
 batches = [int(b) for b in sys.argv[1:]] or [64, 96, 128, 192, 256]
 
@@ -35,20 +37,18 @@ for b in batches:
         results[b] = {"error": "timeout (HBM thrash or wedged dispatch)"}
         print(f"B={b:4d}  TIMEOUT after 900s", flush=True)
         continue
-    line = next((ln for ln in reversed(proc.stdout.strip().splitlines())
-                 if ln.startswith("{")), None)
-    if proc.returncode != 0 or line is None:
+    r = _parse_child_result(proc.stdout) if proc.returncode == 0 else None
+    if r is None:
         tail = proc.stderr.strip()[-300:]
         results[b] = {"error": f"rc={proc.returncode}: {tail}"}
         print(f"B={b:4d}  FAILED  {tail}", flush=True)
         continue
-    r = json.loads(line)
     results[b] = r
     print(f"B={b:4d}  {r['value']:9.2f} frames/s/chip", flush=True)
 
 ok = {b: r["value"] for b, r in results.items() if "value" in r}
 if ok:
     best = max(ok, key=ok.get)
-    print(f"\nbest: B={best} at {ok[best]:.2f} frames/s/chip "
-          f"({ok[best] / ok.get(64, ok[best]) - 1:+.1%} vs B=64)")
+    vs64 = f"  ({ok[best] / ok[64] - 1:+.1%} vs B=64)" if 64 in ok else ""
+    print(f"\nbest: B={best} at {ok[best]:.2f} frames/s/chip{vs64}")
 print("BATCH_SWEEP_DONE")

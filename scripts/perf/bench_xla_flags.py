@@ -11,13 +11,15 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
            scripts/perf/bench_xla_flags.py [BENCH_B]
 """
 
-import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+from unet_convlstm_tpu.benchmark import _parse_child_result  # noqa: E402
 
 B = sys.argv[1] if len(sys.argv) > 1 else "64"
 
@@ -37,17 +39,21 @@ for name, flags in TRIALS:
     env = dict(os.environ, BENCH_B=B)
     if flags:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-    proc = subprocess.run(
-        [sys.executable, "-m", "unet_convlstm_tpu.benchmark", "--child"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
-    line = next((ln for ln in reversed(proc.stdout.strip().splitlines())
-                 if ln.startswith("{")), None)
-    if proc.returncode != 0 or line is None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "unet_convlstm_tpu.benchmark", "--child"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        results[name] = None
+        print(f"{name:24s}  TIMEOUT after 900s", flush=True)
+        continue
+    r = _parse_child_result(proc.stdout) if proc.returncode == 0 else None
+    if r is None:
         results[name] = None
         print(f"{name:24s}  FAILED  {proc.stderr.strip()[-200:]}",
               flush=True)
         continue
-    v = json.loads(line)["value"]
+    v = r["value"]
     results[name] = v
     base = results.get("baseline")
     rel = f"  ({v / base - 1:+.1%} vs baseline)" if base else ""

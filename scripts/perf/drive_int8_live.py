@@ -16,8 +16,11 @@ import numpy as np
 ckpt, npz = sys.argv[1], sys.argv[2]
 
 # 1. evaluate via the CLI surface (same entry the user types), bf16 then
-# --int8, and hold the quantized MAE to the tested PTQ-noise contract
-# (tests/test_quant.py::test_evaluate_int8_cli uses the same bound)
+# --int8, and hold the quantized MAE to PTQ noise: 5% relative + a small
+# absolute slack. (The suite-level contract,
+# tests/test_quant.py::test_quantized_eval_metrics_close_to_float, uses
+# 0.05*max(mae, 1.0) at tiny width — its max(.,1.0) floor is ~4x looser
+# at the MAE this drive measures, so the rel+abs form here is stricter.)
 from unet_convlstm_tpu.cli import main  # noqa: E402
 
 print("== evaluate (bf16 baseline) ==", flush=True)
@@ -32,7 +35,7 @@ rep = json.load(open("/tmp/int8_eval/report.json"))
 mae_i8 = rep["mae"]
 print(f"int8 evaluate report: {rep}", flush=True)
 delta = abs(mae_i8 - mae_bf16)
-bound = 0.10 * max(mae_bf16, 1.0)
+bound = 0.05 * mae_bf16 + 0.005
 print(f"MAE bf16={mae_bf16:.4f} int8={mae_i8:.4f} "
       f"|delta|={delta:.4f} (bound {bound:.4f})", flush=True)
 assert delta < bound, (

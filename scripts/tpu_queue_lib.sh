@@ -1,15 +1,17 @@
 # Shared TPU-queue protocol — source this from queue scripts.
 #
 # The axon tunnel wedges permanently if two clients dial concurrently, so
-# every live-TPU script serializes through one lock file. This lib holds
-# the one copy of the protocol (round-3 review: three scripts had drifted
-# duplicates, and none noticed a dead lock-holder):
+# every live-TPU script serializes through one lock. This lib holds the
+# one copy of the protocol:
 #
-#   tpu_queue_acquire          — wait for the lock, skipping STALE holders
-#                                (recorded PID no longer alive), then take
-#                                it atomically (noclobber closes the
-#                                check-then-create race); installs the
-#                                EXIT trap that releases it.
+#   tpu_queue_acquire          — blocking acquire via flock(1): the kernel
+#                                owns the lock state, so it releases on ANY
+#                                process death (SIGKILL/OOM included) with
+#                                no stale files, no PID liveness checks,
+#                                and no reclaim races (round-3 review: the
+#                                previous marker-file protocol could let
+#                                two reapers both "win"). The marker file
+#                                content (holder PID) is informational.
 #   tpu_queue_step <n> <name> <timeout-s> <cmd...>
 #                              — run one bounded step, logging to
 #                                /tmp/q_<name>.log; rc=124/137 (hang →
@@ -20,26 +22,25 @@
 # Callers set START (first step to run, default 1) and optionally
 # QUEUE_TAG (log prefix, default empty).
 
-TPU_QUEUE_LOCK=/tmp/tpu_queue.running
+TPU_QUEUE_LOCK=/tmp/tpu_queue.lock
+TPU_QUEUE_LEGACY_MARKER=/tmp/tpu_queue.running
 
 tpu_queue_acquire() {
-    while :; do
-        if [ -f "$TPU_QUEUE_LOCK" ]; then
-            local holder
-            holder=$(cat "$TPU_QUEUE_LOCK" 2>/dev/null)
-            if [ -n "$holder" ] && kill -0 "$holder" 2>/dev/null; then
-                sleep 15
-                continue
-            fi
-            # holder died without its EXIT trap (SIGKILL/OOM) — reclaim
-            rm -f "$TPU_QUEUE_LOCK"
+    # fd 9 lives as long as the sourcing script; the kernel drops the
+    # lock when the process exits, however it exits
+    exec 9>"$TPU_QUEUE_LOCK"
+    flock 9
+    echo "$$" >&9   # informational: who holds it
+    # transition guard: queues launched before the flock protocol hold
+    # the legacy marker file — wait for a LIVE legacy holder to finish
+    while [ -f "$TPU_QUEUE_LEGACY_MARKER" ]; do
+        local holder
+        holder=$(cat "$TPU_QUEUE_LEGACY_MARKER" 2>/dev/null)
+        if [ -n "$holder" ] && kill -0 "$holder" 2>/dev/null; then
+            sleep 15
+        else
+            rm -f "$TPU_QUEUE_LEGACY_MARKER"  # dead holder; we own flock
         fi
-        # noclobber write is atomic: exactly one contender wins
-        if (set -C; echo "$$" > "$TPU_QUEUE_LOCK") 2>/dev/null; then
-            trap 'rm -f "$TPU_QUEUE_LOCK"' EXIT
-            return 0
-        fi
-        sleep 1
     done
 }
 

@@ -151,6 +151,24 @@ def test_describe_nc_and_inspect_cli(tmp_path, rng, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["w_map"]["shape"] == [8, 8]
 
+    # review round 3: content-sniffed dispatch (an .nc4 spelling must hit
+    # the nc branch) and non-numeric 1-D variables must not crash
+    nc4 = str(tmp_path / "oddly_named.nc4")
+    with h5py.File(nc4, "w") as f:
+        f["z"] = np.arange(4.0)
+        f["station"] = np.array([b"alpha", b"beta"])
+    desc = describe_nc(nc4)
+    assert "min" not in desc["station"] and "values" in desc["station"]
+    main(["inspect", nc4])
+    out = json.loads(capsys.readouterr().out)
+    assert out["z"]["shape"] == [4]
+
+    # classic NetCDF-3 gets a clear refusal, not an h5py traceback
+    cdf = tmp_path / "classic.nc"
+    cdf.write_bytes(b"CDF\x01" + b"\x00" * 16)
+    with pytest.raises(SystemExit, match="NetCDF-3"):
+        main(["inspect", str(cdf)])
+
 
 def test_legacy_viewer(tmp_path, rng):
     import pickle

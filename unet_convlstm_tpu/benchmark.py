@@ -116,12 +116,15 @@ def run() -> dict:
         raise RuntimeError(f"benchmark loss is non-finite: {final_loss}")
 
     frames_per_sec_per_chip = B * T * ITERS / dt / n_dev
+    # "batch" makes the measured config auditable in the recorded artifact:
+    # a stray BENCH_B export must never masquerade as the headline number
     return {
         "metric": "train_frames_per_sec_per_chip_mnist64_seq10_fwd_bwd",
         "value": round(frames_per_sec_per_chip, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec_per_chip / REF_FRAMES_PER_SEC,
                              2),
+        "batch": B,
     }
 
 
@@ -169,6 +172,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(run()))
         return 0
 
+    if B != 64:
+        _log(f"WARNING: BENCH_B={B} in the environment — this measures a "
+             "non-headline batch size (headline config is B=64)")
     failures: list[str] = []
     for attempt in range(1, ATTEMPTS + 1):
         _log(f"attempt {attempt}/{ATTEMPTS} "

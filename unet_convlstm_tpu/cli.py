@@ -245,8 +245,16 @@ def cmd_inspect(args):
     read_pkl.py / read_nc.py inspection scripts as one subcommand."""
     from .viz.viewers import describe_nc, describe_pkl
 
-    if args.path.endswith(".nc"):
+    # Dispatch on content, not extension: NetCDF-4 is an HDF5 container
+    # (magic \x89HDF), and .nc4/.NC spellings exist in the wild.
+    with open(args.path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"\x89HDF"):
         desc = describe_nc(args.path)
+    elif magic.startswith(b"CDF"):
+        raise SystemExit(
+            f"{args.path} is classic NetCDF-3; this image reads NetCDF-4 "
+            "(HDF5) files only — BOMEX LES outputs are NetCDF-4")
     else:
         desc = describe_pkl(args.path)
     print(json.dumps(desc, indent=2, default=str))

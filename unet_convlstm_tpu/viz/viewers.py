@@ -92,9 +92,14 @@ def describe_nc(nc_path: str, coord_values: int = 16) -> dict:
             entry = {"shape": tuple(v.shape), "dtype": str(v.dtype)}
             if len(v.shape) == 1 and v.shape[0] <= 4096:
                 vals = np.asarray(v[:])
-                entry["values"] = vals[:coord_values].tolist()
-                entry["min"] = float(vals.min())
-                entry["max"] = float(vals.max())
+                entry["values"] = [
+                    x.decode(errors="replace") if isinstance(x, bytes)
+                    else x for x in vals[:coord_values].tolist()]
+                # char/string coordinate variables (CF station names,
+                # unit labels) have no numeric range
+                if np.issubdtype(vals.dtype, np.number):
+                    entry["min"] = float(vals.min())
+                    entry["max"] = float(vals.max())
             out[name] = entry
         return out
     finally:
