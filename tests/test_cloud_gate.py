@@ -6,6 +6,8 @@ structured clouds → stage B/C/D → training → val MAE gate. Marked slow
 ``python -m unet_convlstm_tpu cloud-gate --production`` on a TPU.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -121,7 +123,23 @@ def test_cloud_gate_reuse_dataset(tmp_path, monkeypatch):
     res = run_cloud_gate(work, cfg2, verbose=False, reuse_dataset=True)
     assert len([h for h in res["history"] if "val_mae" in h]) == 3
 
-    # dataset-shaping change -> rebuild is required (and here, loud)
+    # sequence-only change (map_type w -> wvu) -> stage D rebuilds on the
+    # EXISTING renders/maps, stage B must still not run (round-3 feature:
+    # target-channel sweeps cost seconds, not a re-render)
+    cfg_wvu = dataclasses.replace(cfg2, map_type="wvu")
+    res = run_cloud_gate(work, cfg_wvu, verbose=False, reuse_dataset=True)
+    assert len([h for h in res["history"] if "val_mae" in h]) == 3
+    import json as _json
+    side = _json.load(open(os.path.join(work, "gate_dataset.json")))
+    assert side["config"]["map_type"] == "wvu"
+    assert side["npz"].endswith("cloud_wvu.npz")
+    assert np.load(side["npz"])["Y"].shape[2] == 3  # 3 target channels
+
+    # and a full-config match on the NEW sidecar still reuses outright
+    res = run_cloud_gate(work, cfg_wvu, verbose=False, reuse_dataset=True)
+    assert res["history"]
+
+    # render-shaping change -> rebuild is required (and here, loud)
     cfg3 = dataclasses.replace(cfg, seed=cfg.seed + 1)
     with pytest.raises(AssertionError, match="stage B ran"):
         run_cloud_gate(work, cfg3, verbose=False, reuse_dataset=True)

@@ -93,11 +93,18 @@ class CloudGateConfig:
 # knobs (epochs, batch_size, base_ch, mask/threshold, use_mask) are
 # deliberately excluded: a work dir built once can be retrained under
 # different training configs via ``reuse_dataset`` without re-rendering.
-DATASET_FIELDS = (
-    "nz", "nxy", "n_folders", "n_samples", "seq_len", "render_res",
-    "out_size", "voxel_size", "w_scale", "seed", "map_type", "ms_orders",
-    "ms_calibrate_spp", "mc_spp", "mc_majorant_cell", "mc_spp_chunk",
-    "render_batch_size")
+# Fields that shape the EXPENSIVE stages (patch synthesis + B renders +
+# C maps) vs the cheap stage-D sequence assembly. A reuse_dataset run
+# whose config differs only in SEQUENCE_FIELDS (e.g. map_type w -> wvu,
+# a different seq_len) rebuilds stage D in seconds on the existing
+# renders/maps instead of re-rendering the whole corpus — stage B is
+# ~79 min of MC tracing at the T=12 production geometry.
+RENDER_FIELDS = (
+    "nz", "nxy", "n_folders", "n_samples", "render_res", "voxel_size",
+    "w_scale", "seed", "ms_orders", "ms_calibrate_spp", "mc_spp",
+    "mc_majorant_cell", "mc_spp_chunk", "render_batch_size")
+SEQUENCE_FIELDS = ("seq_len", "out_size", "map_type")
+DATASET_FIELDS = RENDER_FIELDS + SEQUENCE_FIELDS
 
 
 PRODUCTION = CloudGateConfig(
@@ -191,21 +198,52 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     os.makedirs(work_dir, exist_ok=True)
     ds_cfg = {k: getattr(cfg, k) for k in DATASET_FIELDS}
     sidecar = os.path.join(work_dir, "gate_dataset.json")
+    # geometry shared by stages B/C/D — derived from RENDER_FIELDS only,
+    # so a sequence-only rebuild reproduces it exactly
+    box_m = cfg.nxy * cfg.voxel_size
+    slice_h = cfg.nz * cfg.voxel_size * 0.5   # mid-cloud W slice
+    # fov sized so the ~600 km nadir camera sees the whole patch
+    fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
     npz = None
+    rebuild_sequences_only = False
     if reuse_dataset and os.path.exists(sidecar):
         with open(sidecar) as f:
             prev = json.load(f)
-        if prev.get("config") == ds_cfg and os.path.exists(
-                prev.get("npz", "")):
+        prev_cfg = prev.get("config", {})
+        if prev_cfg == ds_cfg and os.path.exists(prev.get("npz", "")):
             npz = prev["npz"]
             if verbose:
                 print(f"[cloud-gate] reusing dataset {npz} "
                       "(gate_dataset.json config match; stages B/C/D "
                       "skipped)")
+        elif ({k: prev_cfg.get(k) for k in RENDER_FIELDS} ==
+              {k: ds_cfg[k] for k in RENDER_FIELDS}
+              and os.path.isdir(os.path.join(work_dir, "renders"))
+              and os.path.isdir(os.path.join(work_dir, "maps"))):
+            rebuild_sequences_only = True
+            changed = [k for k in SEQUENCE_FIELDS
+                       if prev_cfg.get(k) != ds_cfg[k]]
+            if verbose:
+                print("[cloud-gate] reusing renders/maps; rebuilding "
+                      f"stage D only (sequence fields changed: "
+                      f"{', '.join(changed)})")
         elif verbose:
             print("[cloud-gate] reuse requested but the existing "
-                  "dataset was built with a different config — "
+                  "dataset was built with a different render config — "
                   "rebuilding")
+    if npz is None and rebuild_sequences_only:
+        npz = build_trajectory_sequences(
+            os.path.join(work_dir, "renders"),
+            os.path.join(work_dir, "maps"),
+            os.path.join(work_dir, "cloud.npz"), seq_len=cfg.seq_len,
+            num_samples=cfg.n_samples, map_type=cfg.map_type,
+            map_suffix=f"slice_{int(slice_h)}m",
+            out_size=(cfg.out_size,) * 2, verbose=verbose)
+        if npz is None:
+            raise RuntimeError("stage D assembled no sequences from the "
+                               "reused renders/maps")
+        with open(sidecar, "w") as f:
+            json.dump({"config": ds_cfg, "npz": npz}, f, indent=2)
     if npz is None:
         patches = os.path.join(work_dir, "patches")
         synthesize_cloud_patches(patches, cfg)
@@ -213,10 +251,6 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
             os.path.join(work_dir, "overpass.csv"),
             n_times=cfg.n_folders, n_satellites=2)
 
-        box_m = cfg.nxy * cfg.voxel_size
-        slice_h = cfg.nz * cfg.voxel_size * 0.5   # mid-cloud W slice
-        # fov sized so the ~600 km nadir camera sees the whole patch
-        fov = float(np.degrees(2 * np.arctan((box_m / 2) / 600e3))) * 1.1
         n_renders = render_dataset(
             patches, os.path.join(work_dir, "renders"), csv,
             resolution=(cfg.render_res,) * 2, fov_deg=fov,
