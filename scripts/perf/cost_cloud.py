@@ -23,11 +23,11 @@ CFG = {"type": "custom", "base_ch": 64, "use_skip_lstm": True,
        "lstm_layers": 1}
 
 
-def build(B, unroll, remat=False, cost_only=False):
+def build(B, unroll, remat=False, cost_only=False, base_ch=64):
     rng = np.random.default_rng(0)
     x_raw = rng.random((B, T, H, H, 2), np.float32) * 3
     y_raw = rng.standard_normal((B, T, H, H, 1)).astype(np.float32)
-    _, init_fn, apply_fn, _ = build_model(CFG)
+    _, init_fn, apply_fn, _ = build_model(dict(CFG, base_ch=base_ch))
     af = functools.partial(apply_fn, unroll=unroll, remat=remat)
     variables = init_fn(jax.random.PRNGKey(0))
     variables = jax.device_put(variables, replicated_sharding(mesh))
@@ -54,8 +54,8 @@ def cost(B=32, unroll=10):
           f"arith intensity {fl/by:.0f} FLOP/B (ridge ~241)")
 
 
-def measure(tag, B, unroll, remat=False, iters=8):
-    step, state, xd, yd = build(B, unroll, remat)
+def measure(tag, B, unroll, remat=False, iters=8, base_ch=64):
+    step, state, xd, yd = build(B, unroll, remat, base_ch=base_ch)
     for _ in range(3):
         state, loss, _ = step(state, xd, yd)
     float(loss)
@@ -88,3 +88,28 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"{tag}: FAILED {type(e).__name__}: {e}",
                       flush=True)
+    elif which == "width":
+        # model-width scaling on one chip: the reference tops out at
+        # base_ch 64 (unet.py:135); wider models are progressively more
+        # FLOP-bound (channels ≥ MXU lane width) — measure where the
+        # single-chip envelope lands, with remat/batch trimmed to fit HBM
+        for tag, bc, B, unroll, remat in [
+            ("base_ch 64  B=32 (prod)", 64, 32, 12, False),
+            ("base_ch 96  B=16", 96, 16, 12, False),
+            ("base_ch 96  B=16 remat", 96, 16, 12, True),
+            ("base_ch 128 B=8", 128, 8, 12, False),
+            ("base_ch 128 B=8 remat", 128, 8, 12, True),
+            ("base_ch 128 B=16 remat", 128, 16, 12, True),
+        ]:
+            try:
+                step, state, xd, yd = build(B, unroll, remat,
+                                            cost_only=True, base_ch=bc)
+                ca = step.lower(state, xd, yd).compile().cost_analysis()
+                fl, by = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+                del step, state, xd, yd
+                measure(tag, B, unroll, remat, base_ch=bc)
+                print(f"  {fl/1e12:.1f} TFLOP/step, {by/1e9:.0f} GB/step, "
+                      f"FLOP floor {fl/197e12*1e3:.0f} ms", flush=True)
+            except Exception as e:
+                print(f"{tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)

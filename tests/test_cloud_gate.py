@@ -169,3 +169,84 @@ def test_cli_geometry_overrides_reach_config(monkeypatch):
     assert seen["n_samples"] == 16 and seen["epochs"] == 6
     assert seen["batch_size"] == 8
     assert seen["nxy"] == 128 and seen["base_ch"] == 64  # production base
+
+
+def test_bomex_nc_stage_a_roundtrip(tmp_path):
+    """from_nc stage A: the synthesized BOMEX-layout .nc files, ingested
+    by the REAL lespatch tiling, must reproduce the intended cartoon
+    cloud — β through the actual microphysics chain matches the puff
+    target (QN inversion is exact up to f32 storage), patch counts match
+    the tiling arithmetic, and W/U/V survive the slice path."""
+    import dataclasses
+    import pickle
+
+    from unet_convlstm_tpu.datagen.lespatch import process_all_nc_files
+    from unet_convlstm_tpu.train.cloud_gate import (_grid_factors,
+                                                    _puff_fields,
+                                                    synthesize_bomex_nc)
+
+    cfg = dataclasses.replace(
+        CloudGateConfig(), nz=8, nxy=16, n_folders=2, n_samples=6, seed=3)
+    nc_dir, patches = str(tmp_path / "nc"), str(tmp_path / "patches")
+    stride, (ny, nx) = synthesize_bomex_nc(nc_dir, cfg)
+
+    ry, rx = _grid_factors(cfg.n_samples)
+    assert (ry, rx) == (2, 3)
+    assert (ny, nx) == (16 + stride, 16 + 2 * stride)
+
+    counts = process_all_nc_files(nc_dir, patches, verbose=False,
+                                  patch_size=cfg.nxy, stride=stride)
+    assert list(counts.values()) == [cfg.n_samples] * cfg.n_folders
+
+    # rebuild the intended full-grid fields with the same RNG stream
+    rng = np.random.default_rng(cfg.seed)
+    area_ratio = (ny * nx) / float(cfg.nxy * cfg.nxy)
+    k = max(2, int(round(rng.integers(2, 5) * area_ratio)))
+    centers = np.stack([
+        rng.uniform(cfg.nz * 0.3, cfg.nz * 0.7, k),
+        rng.uniform(cfg.nxy * 0.25, ny - cfg.nxy * 0.25, k),
+        rng.uniform(cfg.nxy * 0.25, nx - cfg.nxy * 0.25, k),
+        rng.uniform(max(2.0, cfg.nz * 0.12), cfg.nz * 0.3, k)], axis=1)
+    target = _puff_fields(cfg, centers, (cfg.nz, ny, nx))
+
+    folders = sorted(os.listdir(patches))
+    assert folders == ["0000001000", "0000001020"]
+    first = os.path.join(patches, folders[0])
+    with open(os.path.join(first, "sample_000.pkl"), "rb") as f:
+        p0 = pickle.load(f)
+    ys, ye = p0["metadata"]["coords_y"]
+    xs, xe = p0["metadata"]["coords_x"]
+    want = target["beta_ext"][:, ys:ye, xs:xe]
+    got = p0["beta_ext"]
+    assert got.shape == (cfg.nz, cfg.nxy, cfg.nxy)
+    # β restored through the real microphysics: f32-storage accuracy
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-6)
+    np.testing.assert_allclose(p0["W"], target["W"][:, ys:ye, xs:xe],
+                               rtol=1e-5, atol=1e-6)
+    assert got.max() > 0.01  # a real cloud landed in patch 0 or stayed 0
+    # every patch must carry SOME signal across the corpus
+    total = 0.0
+    for s in sorted(os.listdir(first)):
+        with open(os.path.join(first, s), "rb") as f:
+            total += pickle.load(f)["beta_ext"].sum()
+    assert total > 0
+
+
+def test_cloud_gate_from_nc(tmp_path):
+    """The one-stage-earlier gate: .nc → lespatch → B/C/D → train runs
+    end-to-end at tiny geometry, and the sidecar records from_nc so a
+    reuse with the direct-patch config rebuilds."""
+    import dataclasses
+    import json
+
+    cfg = dataclasses.replace(
+        CloudGateConfig(), nz=8, nxy=16, n_folders=2, n_samples=4,
+        render_res=16, out_size=16, base_ch=4, epochs=2, batch_size=2,
+        from_nc=True, mae_threshold=50.0)
+    work = str(tmp_path / "gate")
+    res = run_cloud_gate(work, cfg, verbose=False)
+    assert res["passed"]
+    assert res["config"]["from_nc"] is True
+    assert os.path.isdir(os.path.join(work, "nc"))
+    with open(os.path.join(work, "gate_dataset.json")) as f:
+        assert json.load(f)["config"]["from_nc"] is True

@@ -414,6 +414,8 @@ def cmd_cloud_gate(args):
                                   mc_spp_chunk=args.mc_spp_chunk)
     if args.render_batch != 1:
         cfg = dataclasses.replace(cfg, render_batch_size=args.render_batch)
+    if args.from_nc:
+        cfg = dataclasses.replace(cfg, from_nc=True)
     # geometry overrides (reference temporal depth: seq_len=12 folders of
     # 49 samples, build_sequences.py:15-16 — the defaults keep gates cheap,
     # these knobs run them at the real dataset contract)
@@ -731,6 +733,12 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--mc-spp-chunk", type=int, default=8,
                     help="MC: samples per dispatch (bounds single-kernel "
                          "device time; 0 = all spp in one dispatch)")
+    cg.add_argument("--from-nc", action="store_true", dest="from_nc",
+                    help="start one stage earlier: synthesize BOMEX-layout"
+                         " .nc snapshots and run the real L0 ingest "
+                         "(lespatch 128/64 overlap tiling at production "
+                         "geometry) instead of writing patch pkls directly"
+                         " — the full .nc -> trained-model chain")
     cg.add_argument("--render-batch", type=int, default=1,
                     help="stage-B patches per dispatch (one vmapped SPMD "
                          "program; amortizes dispatch on 1 chip)")

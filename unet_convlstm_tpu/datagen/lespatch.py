@@ -119,10 +119,14 @@ def _numeric_key(path: str) -> int:
 def process_all_nc_files(input_folder: str, base_output_folder: str,
                          start_from: Optional[int] = None,
                          end_at: Optional[int] = None,
-                         verbose: bool = True) -> Dict[str, int]:
+                         verbose: bool = True,
+                         patch_size: int = 128,
+                         stride: int = 64) -> Dict[str, int]:
     """Numerically-sorted batch driver with optional numeric bounds
     (reference preprocessing.py:104-170). Output folder per file = the
-    file's numeric id."""
+    file's numeric id. ``patch_size``/``stride`` default to the
+    reference's fixed 128/64 tiling (preprocessing.py:39-41); reduced
+    geometries (tests, gates) pass smaller values."""
     files: List[str] = sorted(
         (os.path.join(input_folder, f) for f in os.listdir(input_folder)
          if f.endswith(".nc")), key=_numeric_key)
@@ -135,5 +139,7 @@ def process_all_nc_files(input_folder: str, base_output_folder: str,
             continue
         out_dir = os.path.join(base_output_folder, f"{num:010d}")
         results[path] = generate_patches_from_nc(path, out_dir,
+                                                 patch_size=patch_size,
+                                                 stride=stride,
                                                  verbose=verbose)
     return results

@@ -78,6 +78,19 @@ class CloudGateConfig:
     # knob because it changes the RNG realization).
     mc_spp: int = 0
     mc_majorant_cell: int = 0
+    # from_nc = True starts the gate one stage EARLIER: instead of
+    # synthesizing stage-A outputs (patch pkls) directly, it writes
+    # BOMEX-layout netCDF snapshots (QN/NC/TABS/p/U/V/W, one .nc per time
+    # folder — reference preprocessing.py:35-36 geometry at nxy=128/
+    # n_samples=49: a 512×512 grid tiled into 49 overlapping 128² patches
+    # with stride 64) and runs the real L0 ingest
+    # (datagen/lespatch.process_all_nc_files) to produce the patches.
+    # QN is inverted through the actual microphysics (β ∝ QN^{2/3} at
+    # fixed NC/T/p) so the learned radiance→W signal is the same cloud
+    # cartoon as the direct path; what this mode adds is the L0 stage
+    # itself inside the acceptance gate: .nc → patches → renders → maps
+    # → sequences → train → val-MAE threshold, one unbroken chain.
+    from_nc: bool = False
     # samples per MC dispatch (mc_reference spp chunking): same
     # realization, bounds single-kernel device time — one vmapped
     # full-spp path-tracing program over a whole chunk can run
@@ -102,7 +115,7 @@ class CloudGateConfig:
 RENDER_FIELDS = (
     "nz", "nxy", "n_folders", "n_samples", "render_res", "voxel_size",
     "w_scale", "seed", "ms_orders", "ms_calibrate_spp", "mc_spp",
-    "mc_majorant_cell", "mc_spp_chunk", "render_batch_size")
+    "mc_majorant_cell", "mc_spp_chunk", "render_batch_size", "from_nc")
 SEQUENCE_FIELDS = ("seq_len", "out_size", "map_type")
 DATASET_FIELDS = RENDER_FIELDS + SEQUENCE_FIELDS
 
@@ -121,13 +134,15 @@ PRODUCTION_WVU = dataclasses.replace(
     PRODUCTION, map_type="wvu", use_mask=True, mae_threshold=0.3)
 
 
-def _make_patch(rng: np.random.Generator, cfg: CloudGateConfig,
-                centers: np.ndarray):
-    """β from Gaussian puffs at ``centers`` [K, 3]; W tied to β cores."""
-    nz, nxy = cfg.nz, cfg.nxy
-    z, y, x = np.meshgrid(np.arange(nz), np.arange(nxy), np.arange(nxy),
+def _puff_fields(cfg: CloudGateConfig, centers: np.ndarray,
+                 shape: tuple):
+    """β from Gaussian puffs at ``centers`` [K, 3] over a ``(nz, ny, nx)``
+    grid; W tied to β cores (same cartoon for patch-sized and full-LES
+    grids)."""
+    nz, ny, nx = shape
+    z, y, x = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
                           indexing="ij")
-    beta = np.zeros((nz, nxy, nxy), np.float32)
+    beta = np.zeros(shape, np.float32)
     for cz, cy, cx, s in centers:
         r2 = (((x - cx) / (2.2 * s)) ** 2 + ((y - cy) / (2.2 * s)) ** 2
               + ((z - cz) / s) ** 2)
@@ -141,6 +156,11 @@ def _make_patch(rng: np.random.Generator, cfg: CloudGateConfig,
     v = np.full_like(beta, -1.0) - 0.3 * core
     return {"beta_ext": beta, "U": u.astype(np.float32),
             "V": v.astype(np.float32), "W": w.astype(np.float32)}
+
+
+def _make_patch(rng: np.random.Generator, cfg: CloudGateConfig,
+                centers: np.ndarray):
+    return _puff_fields(cfg, centers, (cfg.nz, cfg.nxy, cfg.nxy))
 
 
 def synthesize_cloud_patches(root: str, cfg: CloudGateConfig) -> None:
@@ -169,6 +189,92 @@ def synthesize_cloud_patches(root: str, cfg: CloudGateConfig) -> None:
             patch = _make_patch(rng, cfg, c)
             with open(os.path.join(d, f"sample_{s:03d}.pkl"), "wb") as f:
                 pickle.dump(patch, f)
+
+
+def _grid_factors(n: int) -> tuple:
+    """Factor n into (ry, rx), ry <= rx, as square as possible — the
+    patch-tiling layout that yields exactly n patches per .nc."""
+    ry = int(np.sqrt(n))
+    while ry > 1 and n % ry:
+        ry -= 1
+    return ry, n // ry
+
+
+def synthesize_bomex_nc(nc_dir: str, cfg: CloudGateConfig) -> tuple:
+    """Write ``cfg.n_folders`` BOMEX-layout netCDF-4 snapshots sized so the
+    reference's overlapping tiling (patch ``nxy``, stride ``nxy//2`` — 50%
+    overlap, preprocessing.py:39-41) yields exactly ``cfg.n_samples``
+    patches per file. At the production contract (nxy=128, n_samples=49)
+    the grid is the reference's full 512×512 BOMEX plane
+    (preprocessing.py:35-36).
+
+    Variables per file (h5py; netCDF-4 files are HDF5 containers):
+    ``x``/``y``/``z`` coordinate axes, ``p`` [mb] pressure profile over z,
+    and ``QN`` [g/kg] / ``NC`` [cm⁻³] / ``TABS`` [K] / ``U``/``V``/``W``
+    [m/s] volumes shaped [time=1, z, y, x] — the slice layout
+    generate_patches_from_nc reads (reference preprocessing.py:64-74).
+
+    QN is chosen so the REAL microphysics chain reproduces the cartoon
+    cloud: at fixed NC/T/p, β_ext ∝ QN^{2/3} per voxel (calc_beta.py:13-24
+    — LWC linear in QN, Reff ∝ LWC^{1/3}), so QN = (β_target/β_unit)^{3/2}
+    with β_unit measured by one probe call at QN≡1. Returns
+    ``(stride, (ny, nx))``.
+    """
+    import h5py
+
+    os.makedirs(nc_dir, exist_ok=True)
+    rng = np.random.default_rng(cfg.seed)
+    nz, nxy = cfg.nz, cfg.nxy
+    stride = max(1, nxy // 2)
+    ry, rx = _grid_factors(cfg.n_samples)
+    ny = nxy + (ry - 1) * stride
+    nx = nxy + (rx - 1) * stride
+
+    # one LES box: puff density matches the per-patch path, scaled by area
+    area_ratio = (ny * nx) / float(nxy * nxy)
+    k = max(2, int(round(rng.integers(2, 5) * area_ratio)))
+    centers = np.stack([
+        rng.uniform(nz * 0.3, nz * 0.7, k),
+        rng.uniform(nxy * 0.25, ny - nxy * 0.25, k),
+        rng.uniform(nxy * 0.25, nx - nxy * 0.25, k),
+        rng.uniform(max(2.0, nz * 0.12), nz * 0.3, k)], axis=1)
+    drift = rng.uniform(-1.0, 1.0, size=2)   # LES-box wind [voxels/frame]
+
+    # constant-profile thermodynamics (trade-wind cumulus regime)
+    z_m = np.arange(nz) * cfg.voxel_size
+    p_mb = 1015.0 * np.exp(-z_m / 8500.0)            # [mb]
+    tabs_prof = 298.0 - 6.5e-3 * z_m                 # [K]
+    nc_cm3 = 65.0                                    # [cm⁻³]
+
+    from ..datagen.microphysics import process_cloud_vars
+    tabs = np.broadcast_to(tabs_prof[:, None, None],
+                           (nz, ny, nx)).astype(np.float64)
+    ncd = np.full((nz, ny, nx), nc_cm3, np.float64)
+    _, _, beta_unit = process_cloud_vars(
+        np.ones((nz, ny, nx)), ncd, tabs, p_mb)
+
+    for fi in range(cfg.n_folders):
+        c = centers.copy()
+        c[:, 1] += drift[0] * fi
+        c[:, 2] += drift[1] * fi
+        fields = _puff_fields(cfg, c, (nz, ny, nx))
+        qn = (fields["beta_ext"] / beta_unit) ** 1.5   # [g/kg]
+        path = os.path.join(nc_dir, f"bomex_{1000 + 20 * fi:010d}.nc")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("x", data=np.arange(nx) * cfg.voxel_size)
+            f.create_dataset("y", data=np.arange(ny) * cfg.voxel_size)
+            f.create_dataset("z", data=z_m.astype(np.float64))
+            f.create_dataset("p", data=p_mb)
+            for name, vol in (("QN", qn.astype(np.float32)),
+                              ("NC", ncd.astype(np.float32)),
+                              ("TABS", tabs.astype(np.float32)),
+                              ("U", fields["U"]), ("V", fields["V"]),
+                              ("W", fields["W"])):
+                # uncompressed: overlapping 128² patch reads against a
+                # gzip'd dataset decompress the same chunks 4× over;
+                # contiguous storage keeps stage A I/O-trivial
+                f.create_dataset(name, data=vol[None])
+    return stride, (ny, nx)
 
 
 def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
@@ -210,6 +316,12 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
         with open(sidecar) as f:
             prev = json.load(f)
         prev_cfg = prev.get("config", {})
+        # sidecars written before a DATASET_FIELDS addition lack the new
+        # key; fill with the dataclass default (the semantics those
+        # datasets were built under) so old datasets stay reusable
+        defaults = CloudGateConfig()
+        for k in DATASET_FIELDS:
+            prev_cfg.setdefault(k, getattr(defaults, k))
         if prev_cfg == ds_cfg and os.path.exists(prev.get("npz", "")):
             npz = prev["npz"]
             if verbose:
@@ -246,7 +358,24 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
             json.dump({"config": ds_cfg, "npz": npz}, f, indent=2)
     if npz is None:
         patches = os.path.join(work_dir, "patches")
-        synthesize_cloud_patches(patches, cfg)
+        if cfg.from_nc:
+            from ..datagen.lespatch import process_all_nc_files
+            nc_dir = os.path.join(work_dir, "nc")
+            stride, (ny, nx) = synthesize_bomex_nc(nc_dir, cfg)
+            if verbose:
+                print(f"[cloud-gate] stage A: {cfg.n_folders} BOMEX-layout "
+                      f".nc snapshots ({cfg.nz}×{ny}×{nx}) → lespatch "
+                      f"tiling (patch {cfg.nxy}, stride {stride})")
+            counts = process_all_nc_files(nc_dir, patches, verbose=verbose,
+                                          patch_size=cfg.nxy, stride=stride)
+            bad = {os.path.basename(p): c for p, c in counts.items()
+                   if c != cfg.n_samples}
+            if bad:
+                raise RuntimeError(
+                    f"stage A tiling produced unexpected patch counts "
+                    f"(want {cfg.n_samples}/file): {bad}")
+        else:
+            synthesize_cloud_patches(patches, cfg)
         csv = synthesize_overpass_csv(
             os.path.join(work_dir, "overpass.csv"),
             n_times=cfg.n_folders, n_satellites=2)
