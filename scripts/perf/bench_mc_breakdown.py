@@ -101,7 +101,67 @@ def main():
             return jnp.clip(new_pos, -4000.0, 4000.0), d
         return jax.lax.fori_loop(0, K, body, (pos, d))[0]
 
+    # -- 1b. the SAME chained gather but with a 2-field stacked payload
+    # ([...,2] trailing dim) — measures whether a second field riding the
+    # same address stream is ~free (the mc_reference.py β+t_sun fusion)
+    vol2 = jnp.stack([vol, vol * 0.5], axis=-1)
+
+    @jax.jit
+    def gathers_stacked(idx):
+        def body(_, carry):
+            gi = carry
+            v2 = vol2[jnp.clip(gi[:, 2] % NZ, 0, NZ - 1),
+                      jnp.clip(gi[:, 1], 0, NY - 1),
+                      jnp.clip(gi[:, 0], 0, NX - 1)]
+            # 1e-30 scale: keeps field 1 live in the gather (a 0.0
+            # multiplier invites the algebraic simplifier to narrow the
+            # payload back to one field) without changing the int cast
+            v = v2[:, 0] + 1e-30 * v2[:, 1]
+            gi = (gi + v[:, None].astype(jnp.int32) + 1) % NX
+            return gi
+        return jax.lax.fori_loop(0, K, body, idx)
+
+    # -- 1c. padded gather: [...,2] payload but field 1 NEVER used — does
+    # the algebraic simplifier narrow the gather back to the slow scalar
+    # form, or does mere payload padding keep the fast lowering? Decides
+    # whether the macro-grid majorant gather (single field by nature) can
+    # be accelerated by padding alone.
+    @jax.jit
+    def gathers_padded(idx):
+        def body(_, carry):
+            gi = carry
+            v2 = vol2[jnp.clip(gi[:, 2] % NZ, 0, NZ - 1),
+                      jnp.clip(gi[:, 1], 0, NY - 1),
+                      jnp.clip(gi[:, 0], 0, NX - 1)]
+            v = v2[:, 0]
+            gi = (gi + v[:, None].astype(jnp.int32) + 1) % NX
+            return gi
+        return jax.lax.fori_loop(0, K, body, idx)
+
+    # -- 1d. small-table gather: the super-voxel macro grid (cell 16 →
+    # 13x8x8 for the production patch) with the same N chained addresses —
+    # how much of the dense-regime iteration does the majorant lookup cost?
+    MZ, MY, MX = (NZ + 15) // 16, (NY + 15) // 16, (NX + 15) // 16
+    macro = jnp.asarray(rng.random((MZ, MY, MX), np.float32))
+
+    @jax.jit
+    def gathers_macro(idx):
+        def body(_, carry):
+            gi = carry
+            v = macro[jnp.clip(gi[:, 2] % MZ, 0, MZ - 1),
+                      jnp.clip(gi[:, 1] % MY, 0, MY - 1),
+                      jnp.clip(gi[:, 0] % MX, 0, MX - 1)]
+            gi = (gi + v[:, None].astype(jnp.int32) + 1) % NX
+            return gi
+        return jax.lax.fori_loop(0, K, body, idx)
+
     t_gather = timeit("3D vector gather (1/iter)", gathers, idx0)
+    t_gather2 = timeit("stacked 2-field gather (1/iter)", gathers_stacked,
+                       idx0)
+    t_gatherp = timeit("padded dead-field gather (1/iter)", gathers_padded,
+                       idx0)
+    t_gatherm = timeit("small-table macro gather (1/iter)", gathers_macro,
+                       idx0)
     key = jax.random.PRNGKey(0)
     t_tf = timeit("threefry split+3 uniforms", prng_chain, key)
     try:
@@ -117,6 +177,10 @@ def main():
 
     print("\nper-iteration model (3 gathers + RNG + elementwise):")
     print(f"  gathers   3 x {t_gather*1e3:7.3f} = {3*t_gather*1e3:8.3f} ms")
+    print(f"  stacked 2-field gather {t_gather2*1e3:8.3f} ms "
+          f"(vs 2 x {t_gather*1e3:7.3f} = {2*t_gather*1e3:7.3f} separate)")
+    print(f"  padded dead-field      {t_gatherp*1e3:8.3f} ms; "
+          f"macro small-table {t_gatherm*1e3:8.3f} ms")
     print(f"  threefry      {t_tf*1e3:8.3f} ms   (rbg: {t_rbg*1e3:8.3f} ms)")
     print(f"  elementwise   {t_elem*1e3:8.3f} ms")
 

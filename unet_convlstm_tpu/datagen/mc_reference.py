@@ -147,12 +147,21 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
     hits_box = tmax > tmin
     p_entry = ro + rd * (tmin[:, None] + 1e-4)
 
-    def lookup(vol, p):
+    # β and t_sun are read at the SAME position every iteration, so they
+    # ride ONE stacked-payload gather ([...,2] trailing dim) instead of
+    # two full-volume gathers — the same fewer-gathers transform the
+    # deterministic camera march won with (renderer.py round-2 log). The
+    # gather cost is issue-rate-bound on the address stream, not payload
+    # bytes, so the second field is nearly free; values (and therefore
+    # the sampled realization) are bit-identical to the two-gather form.
+    vol_bt = jnp.stack([beta, t_sun], axis=-1)
+
+    def lookup_bt(p):
         gi = ((p - min_bound) / voxel_size).astype(jnp.int32)
         gx = jnp.clip(gi[:, 0], 0, nx - 1)
         gy = jnp.clip(gi[:, 1], 0, ny - 1)
         gz = jnp.clip(gi[:, 2], 0, nz - 1)
-        return vol[gz, gy, gx]
+        return vol_bt[gz, gy, gx]           # [N, 2] = (β, t_sun)
 
     inside = lambda p: jnp.all((p >= min_bound) & (p <= max_bound), axis=1)
 
@@ -230,7 +239,8 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
                 t = t_flight
             pos = pos + d * t[:, None]
             in_box = inside(pos)
-            b_here = lookup(beta, pos)
+            bt = lookup_bt(pos)
+            b_here = bt[:, 0]
             if not use_pallas_sampler:
                 u_acc = jax.random.uniform(k2, (N,))
             real = ~crossed & ((u_acc * m) < b_here)
@@ -239,7 +249,7 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
             # NEE to the directional sun at every real collision
             cos_sun = jnp.sum(d * toward_sun, axis=-1)
             contrib = albedo * hg_phase(cos_sun, g) \
-                * lookup(t_sun, pos) * irradiance
+                * bt[:, 1] * irradiance
             L = L + jnp.where(ev, w * contrib, 0.0)
 
             # continue with HG-sampled direction, weight *= albedo
