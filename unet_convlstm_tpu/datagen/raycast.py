@@ -124,7 +124,13 @@ def _first_hit_impl(beta, u, v, w, voxel_size, min_bound, max_bound,
     gz = jnp.clip(gi[..., 2], 0, nz - 1)
     in_bounds = t_vals <= tmax[:, None]
 
-    beta_s = jnp.where(in_bounds, beta[gz, gy, gx], 0.0)
+    # padded-payload march gather: a trailing size-2 dim (second field
+    # dead) moves the gather onto XLA's fast vector lowering — measured
+    # 4.3x vs the scalar-payload form on v5e, and the simplifier does
+    # NOT narrow dead fields away (docs/PERF.md round 3, padded-dead
+    # probe). Values are identical; only the lowering changes.
+    beta2 = jnp.stack([beta, beta], axis=-1)
+    beta_s = jnp.where(in_bounds, beta2[gz, gy, gx][..., 0], 0.0)
     hit = beta_s > 0
     first = jnp.argmax(hit, axis=1)
     has_hit = jnp.any(hit, axis=1) & box_hit
@@ -132,10 +138,13 @@ def _first_hit_impl(beta, u, v, w, voxel_size, min_bound, max_bound,
     r = jnp.arange(ro.shape[0])
     hz, hy, hx = gz[r, first], gy[r, first], gx[r, first]
     nan = jnp.float32(jnp.nan)
-    u_map = jnp.where(has_hit, u[hz, hy, hx], nan)
-    v_map = jnp.where(has_hit, v[hz, hy, hx], nan)
-    w_map = jnp.where(has_hit, w[hz, hy, hx], nan)
-    return (u_map.reshape(H, W), v_map.reshape(H, W), w_map.reshape(H, W))
+    # u/v/w are read at the SAME hit voxel: one stacked-payload gather
+    # instead of three (values identical; the trailing dim also puts the
+    # gather on XLA's fast vector lowering — docs/PERF.md round 3)
+    uvw = jnp.stack([u, v, w], axis=-1)[hz, hy, hx]
+    uvw = jnp.where(has_hit[:, None], uvw, nan)
+    return (uvw[:, 0].reshape(H, W), uvw[:, 1].reshape(H, W),
+            uvw[:, 2].reshape(H, W))
 
 
 def first_hit_maps(grid: VolumeGrid, cam_pos, look_at,
@@ -178,10 +187,12 @@ def _z_slice_impl(u, v, w, voxel_size, min_bound, max_bound, cam_pos,
     gy = jnp.clip(gi[:, 1], 0, ny - 1)
     gz = jnp.clip(gi[:, 2], 0, nz - 1)
     nan = jnp.float32(jnp.nan)
-    u_map = jnp.where(valid, u[gz, gy, gx], nan)
-    v_map = jnp.where(valid, v[gz, gy, gx], nan)
-    w_map = jnp.where(valid, w[gz, gy, gx], nan)
-    return (u_map.reshape(H, W), v_map.reshape(H, W), w_map.reshape(H, W))
+    # same stacked-payload transform as _first_hit_impl: one gather for
+    # the three wind components at identical indices
+    uvw = jnp.stack([u, v, w], axis=-1)[gz, gy, gx]
+    uvw = jnp.where(valid[:, None], uvw, nan)
+    return (uvw[:, 0].reshape(H, W), uvw[:, 1].reshape(H, W),
+            uvw[:, 2].reshape(H, W))
 
 
 def z_slice_maps(grid: VolumeGrid, cam_pos, look_at, target_z_height: float,
