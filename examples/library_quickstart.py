@@ -26,6 +26,7 @@ def main(argv=None):
     ap.add_argument("--work-dir", default=None)
     args = ap.parse_args(argv)
     work = args.work_dir or tempfile.mkdtemp(prefix="uclt_quickstart_")
+    os.makedirs(work, exist_ok=True)
 
     # 1. Data: the byte-identical Moving-MNIST analog task (reference
     #    digits/build_moving_mnist.py), already split into (X, Y).

@@ -18,7 +18,9 @@ import sys
 def load_xspace(trace_dir):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
     pats = [os.path.join(trace_dir, "**", "*.xplane.pb"),
-            os.path.join(trace_dir, "*.xplane.pb")]
+            os.path.join(trace_dir, "**", "*.xplane.pb.gz"),
+            os.path.join(trace_dir, "*.xplane.pb"),
+            os.path.join(trace_dir, "*.xplane.pb.gz")]
     paths = sorted(set(sum((glob.glob(p, recursive=True) for p in pats), [])),
                    key=os.path.getmtime)
     if not paths:

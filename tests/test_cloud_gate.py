@@ -145,6 +145,28 @@ def test_cloud_gate_reuse_dataset(tmp_path, monkeypatch):
         run_cloud_gate(work, cfg3, verbose=False, reuse_dataset=True)
 
 
+@pytest.mark.slow
+def test_cloud_gate_rebuild_clears_stale_stages(tmp_path):
+    """Shrinking n_folders on a rebuild-in-place must not blend the old
+    corpus into the new dataset: the stage drivers only ADD folders and
+    stage D scans all of them (sequences.py), so a config-mismatch
+    rebuild clears every stale stage output first."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CloudGateConfig(), nz=8, nxy=16, n_folders=3, n_samples=4,
+        render_res=16, out_size=16, base_ch=4, epochs=1, batch_size=2,
+        mae_threshold=50.0)
+    work = str(tmp_path / "gate")
+    run_cloud_gate(work, cfg, verbose=False)
+    assert len(os.listdir(os.path.join(work, "renders"))) == 3
+
+    cfg2 = dataclasses.replace(cfg, n_folders=2)
+    run_cloud_gate(work, cfg2, verbose=False, reuse_dataset=True)
+    for sub in ("patches", "renders", "maps"):
+        assert len(os.listdir(os.path.join(work, sub))) == 2, sub
+
+
 def test_cli_geometry_overrides_reach_config(monkeypatch):
     """--seq-len/--n-folders/--n-samples/--epochs/--batch-size must reach
     CloudGateConfig — the knobs that run the gate at the reference's
@@ -198,16 +220,11 @@ def test_bomex_nc_stage_a_roundtrip(tmp_path):
                                   patch_size=cfg.nxy, stride=stride)
     assert list(counts.values()) == [cfg.n_samples] * cfg.n_folders
 
-    # rebuild the intended full-grid fields with the same RNG stream
-    rng = np.random.default_rng(cfg.seed)
-    area_ratio = (ny * nx) / float(cfg.nxy * cfg.nxy)
-    k = max(2, int(round(rng.integers(2, 5) * area_ratio)))
-    centers = np.stack([
-        rng.uniform(cfg.nz * 0.3, cfg.nz * 0.7, k),
-        rng.uniform(cfg.nxy * 0.25, ny - cfg.nxy * 0.25, k),
-        rng.uniform(cfg.nxy * 0.25, nx - cfg.nxy * 0.25, k),
-        rng.uniform(max(2.0, cfg.nz * 0.12), cfg.nz * 0.3, k)], axis=1)
-    target = _puff_fields(cfg, centers, (cfg.nz, ny, nx))
+    # rebuild the intended full-grid fields from the ground-truth sidecar
+    # (decoupled from synthesize_bomex_nc's RNG draw order)
+    truth = np.load(os.path.join(nc_dir, "ground_truth.npz"))
+    assert truth["centers"].shape[1] == 4 and truth["drift"].shape == (2,)
+    target = _puff_fields(cfg, truth["centers"], (cfg.nz, ny, nx))
 
     folders = sorted(os.listdir(patches))
     assert folders == ["0000001000", "0000001020"]

@@ -277,3 +277,24 @@ def test_masked_mse(rng):
                                                 jnp.asarray(y),
                                                 jnp.asarray(mask))),
                                golden, rtol=1e-6)
+
+
+def test_stacked_payload_gather_identity(rng):
+    """ops/gather.py is a pure lowering trick: values must be identical
+    to the plain per-field gathers it replaces (incl. the dead-padded
+    single-field form)."""
+    from unet_convlstm_tpu.ops.gather import payload_lookup, stack_volume
+
+    a = rng.standard_normal((5, 6, 7)).astype(np.float32)
+    b = rng.standard_normal((5, 6, 7)).astype(np.float32)
+    gz = rng.integers(0, 5, size=(4, 3))
+    gy = rng.integers(0, 6, size=(4, 3))
+    gx = rng.integers(0, 7, size=(4, 3))
+    out = np.asarray(payload_lookup(stack_volume(jnp.asarray(a),
+                                                 jnp.asarray(b)),
+                                    gz, gy, gx))
+    assert out.shape == (4, 3, 2)
+    np.testing.assert_array_equal(out[..., 0], a[gz, gy, gx])
+    np.testing.assert_array_equal(out[..., 1], b[gz, gy, gx])
+    one = payload_lookup(stack_volume(jnp.asarray(a)), gz, gy, gx)
+    np.testing.assert_array_equal(np.asarray(one)[..., 0], a[gz, gy, gx])

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gather import payload_lookup, stack_volume
 from .renderer import (SUN_IRRADIANCE, VolumeScene, hg_phase,
                        make_camera_rays, multiple_scatter_fluence,
                        ray_aabb_interval, render_radiance,
@@ -148,20 +149,18 @@ def _mc_radiance_impl(beta, t_sun, voxel_size, min_bound, max_bound,
     p_entry = ro + rd * (tmin[:, None] + 1e-4)
 
     # β and t_sun are read at the SAME position every iteration, so they
-    # ride ONE stacked-payload gather ([...,2] trailing dim) instead of
-    # two full-volume gathers — the same fewer-gathers transform the
-    # deterministic camera march won with (renderer.py round-2 log). The
-    # gather cost is issue-rate-bound on the address stream, not payload
-    # bytes, so the second field is nearly free; values (and therefore
-    # the sampled realization) are bit-identical to the two-gather form.
-    vol_bt = jnp.stack([beta, t_sun], axis=-1)
+    # ride ONE stacked-payload gather instead of two full-volume gathers
+    # — gather cost is issue-rate-bound on the address stream, not
+    # payload bytes (ops/gather.py has the measured rule); values (and
+    # therefore the sampled realization) are bit-identical.
+    vol_bt = stack_volume(beta, t_sun)
 
     def lookup_bt(p):
         gi = ((p - min_bound) / voxel_size).astype(jnp.int32)
         gx = jnp.clip(gi[:, 0], 0, nx - 1)
         gy = jnp.clip(gi[:, 1], 0, ny - 1)
         gz = jnp.clip(gi[:, 2], 0, nz - 1)
-        return vol_bt[gz, gy, gx]           # [N, 2] = (β, t_sun)
+        return payload_lookup(vol_bt, gz, gy, gx)  # [N, 2] = (β, t_sun)
 
     inside = lambda p: jnp.all((p >= min_bound) & (p <= max_bound), axis=1)
 

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gather import payload_lookup, stack_volume
+
 
 @dataclasses.dataclass
 class VolumeGrid:
@@ -124,13 +126,11 @@ def _first_hit_impl(beta, u, v, w, voxel_size, min_bound, max_bound,
     gz = jnp.clip(gi[..., 2], 0, nz - 1)
     in_bounds = t_vals <= tmax[:, None]
 
-    # padded-payload march gather: a trailing size-2 dim (second field
-    # dead) moves the gather onto XLA's fast vector lowering — measured
-    # 4.3x vs the scalar-payload form on v5e, and the simplifier does
-    # NOT narrow dead fields away (docs/PERF.md round 3, padded-dead
-    # probe). Values are identical; only the lowering changes.
-    beta2 = jnp.stack([beta, beta], axis=-1)
-    beta_s = jnp.where(in_bounds, beta2[gz, gy, gx][..., 0], 0.0)
+    # dead-padded payload moves the march gather onto XLA's fast vector
+    # lowering, values identical (ops/gather.py has the measured rule)
+    beta2 = stack_volume(beta)
+    beta_s = jnp.where(in_bounds, payload_lookup(beta2, gz, gy, gx)[..., 0],
+                       0.0)
     hit = beta_s > 0
     first = jnp.argmax(hit, axis=1)
     has_hit = jnp.any(hit, axis=1) & box_hit
@@ -139,9 +139,8 @@ def _first_hit_impl(beta, u, v, w, voxel_size, min_bound, max_bound,
     hz, hy, hx = gz[r, first], gy[r, first], gx[r, first]
     nan = jnp.float32(jnp.nan)
     # u/v/w are read at the SAME hit voxel: one stacked-payload gather
-    # instead of three (values identical; the trailing dim also puts the
-    # gather on XLA's fast vector lowering — docs/PERF.md round 3)
-    uvw = jnp.stack([u, v, w], axis=-1)[hz, hy, hx]
+    # instead of three (ops/gather.py)
+    uvw = payload_lookup(stack_volume(u, v, w), hz, hy, hx)
     uvw = jnp.where(has_hit[:, None], uvw, nan)
     return (uvw[:, 0].reshape(H, W), uvw[:, 1].reshape(H, W),
             uvw[:, 2].reshape(H, W))
@@ -188,8 +187,8 @@ def _z_slice_impl(u, v, w, voxel_size, min_bound, max_bound, cam_pos,
     gz = jnp.clip(gi[:, 2], 0, nz - 1)
     nan = jnp.float32(jnp.nan)
     # same stacked-payload transform as _first_hit_impl: one gather for
-    # the three wind components at identical indices
-    uvw = jnp.stack([u, v, w], axis=-1)[gz, gy, gx]
+    # the three wind components at identical indices (ops/gather.py)
+    uvw = payload_lookup(stack_volume(u, v, w), gz, gy, gx)
     uvw = jnp.where(valid[:, None], uvw, nan)
     return (uvw[:, 0].reshape(H, W), uvw[:, 1].reshape(H, W),
             uvw[:, 2].reshape(H, W))

@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gather import payload_lookup, stack_volume
+
 SUN_IRRADIANCE = 131.4   # reference render.py:277-279
 
 
@@ -130,10 +132,9 @@ def _sun_transmittance_impl(beta, voxel_size, min_bound, sun_dir, step,
          min_bound[1] + (yi + 0.5) * voxel_size,
          min_bound[2] + (zi + 0.5) * voxel_size], axis=-1)  # [Z,Y,X,3]
     toward_sun = -sun_dir
-    # padded [...,2] payload (second field dead): moves the march gather
-    # onto XLA's fast vector lowering — 4.3x measured on v5e, values
-    # identical (docs/PERF.md round 3, padded-dead probe)
-    beta2 = jnp.stack([beta, beta], axis=-1)
+    # dead-padded payload moves the march gather onto XLA's fast vector
+    # lowering, values identical (ops/gather.py has the measured rule)
+    beta2 = stack_volume(beta)
 
     def body(k, tau):
         # samples at k·step from the center land mid-voxel (midpoint rule);
@@ -146,7 +147,8 @@ def _sun_transmittance_impl(beta, voxel_size, min_bound, sun_dir, step,
         gx = jnp.clip(gii[..., 0], 0, nx - 1)
         gy = jnp.clip(gii[..., 1], 0, ny - 1)
         gz = jnp.clip(gii[..., 2], 0, nz - 1)
-        return tau + jnp.where(inb, beta2[gz, gy, gx][..., 0], 0.0) * step
+        return tau + jnp.where(
+            inb, payload_lookup(beta2, gz, gy, gx)[..., 0], 0.0) * step
 
     tau = jax.lax.fori_loop(1, n_steps + 1, body, beta * (step * 0.5))
     return jnp.exp(-tau)
@@ -525,9 +527,9 @@ def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
     cos_theta = jnp.sum(sun_dir * (-rd), axis=-1)
     phase = hg_phase(cos_theta, g)
 
-    # ONE fused gather per step instead of 2-3: stack beta with the
-    # per-voxel source factors (computed once, O(V) elementwise) so the
-    # march reads a single [.., C] payload per sample —
+    # ONE fused gather per step instead of 2-3 (ops/gather.py): stack
+    # beta with the per-voxel source factors (computed once, O(V)
+    # elementwise) so the march reads a single [.., C] payload per sample
     #   src = b * phase * A + B,  A = albedo*irradiance*t_sun,
     #   B = b * albedo * e_ms / 4pi (orders >= 2 in-scatter, zero otherwise)
     A = albedo * irradiance * t_sun
@@ -535,7 +537,7 @@ def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
         chans = (beta, A, beta * (albedo / (4.0 * jnp.pi)) * e_ms)
     else:
         chans = (beta, A)
-    vol = jnp.stack(chans, axis=-1)
+    vol = stack_volume(*chans)
 
     def body(k, carry):
         L, tau = carry
@@ -548,7 +550,7 @@ def _render_impl(beta, t_sun, voxel_size, min_bound, max_bound, origin,
         gx = jnp.clip(gii[:, 0], 0, nx - 1)
         gy = jnp.clip(gii[:, 1], 0, ny - 1)
         gz = jnp.clip(gii[:, 2], 0, nz - 1)
-        vals = jnp.where(inb[:, None], vol[gz, gy, gx], 0.0)
+        vals = jnp.where(inb[:, None], payload_lookup(vol, gz, gy, gx), 0.0)
         b = vals[:, 0]
         # single scattering: exact HG toward the camera
         src = b * phase * vals[:, 1]

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import shutil
 import time
 import dataclasses
 from dataclasses import dataclass
@@ -158,11 +159,6 @@ def _puff_fields(cfg: CloudGateConfig, centers: np.ndarray,
             "V": v.astype(np.float32), "W": w.astype(np.float32)}
 
 
-def _make_patch(rng: np.random.Generator, cfg: CloudGateConfig,
-                centers: np.ndarray):
-    return _puff_fields(cfg, centers, (cfg.nz, cfg.nxy, cfg.nxy))
-
-
 def synthesize_cloud_patches(root: str, cfg: CloudGateConfig) -> None:
     """Numeric time folders of stage-A-style patch pkls; per sample the
     puffs advect across folders so sequences carry real temporal signal."""
@@ -186,7 +182,7 @@ def synthesize_cloud_patches(root: str, cfg: CloudGateConfig) -> None:
             c = centers.copy()
             c[:, 1] += drift[0] * fi
             c[:, 2] += drift[1] * fi
-            patch = _make_patch(rng, cfg, c)
+            patch = _puff_fields(cfg, c, (cfg.nz, cfg.nxy, cfg.nxy))
             with open(os.path.join(d, f"sample_{s:03d}.pkl"), "wb") as f:
                 pickle.dump(patch, f)
 
@@ -218,7 +214,9 @@ def synthesize_bomex_nc(nc_dir: str, cfg: CloudGateConfig) -> tuple:
     cloud: at fixed NC/T/p, β_ext ∝ QN^{2/3} per voxel (calc_beta.py:13-24
     — LWC linear in QN, Reff ∝ LWC^{1/3}), so QN = (β_target/β_unit)^{3/2}
     with β_unit measured by one probe call at QN≡1. Returns
-    ``(stride, (ny, nx))``.
+    ``(stride, (ny, nx))``; the sampled puff ``centers``/``drift`` are
+    saved to ``nc_dir/ground_truth.npz`` so tests can reconstruct the
+    intended fields without replaying the RNG draw order.
     """
     import h5py
 
@@ -239,6 +237,8 @@ def synthesize_bomex_nc(nc_dir: str, cfg: CloudGateConfig) -> tuple:
         rng.uniform(nxy * 0.25, nx - nxy * 0.25, k),
         rng.uniform(max(2.0, nz * 0.12), nz * 0.3, k)], axis=1)
     drift = rng.uniform(-1.0, 1.0, size=2)   # LES-box wind [voxels/frame]
+    np.savez(os.path.join(nc_dir, "ground_truth.npz"),
+             centers=centers, drift=drift)
 
     # constant-profile thermodynamics (trade-wind cumulus regime)
     z_m = np.arange(nz) * cfg.voxel_size
@@ -335,10 +335,11 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
             rebuild_sequences_only = True
             changed = [k for k in SEQUENCE_FIELDS
                        if prev_cfg.get(k) != ds_cfg[k]]
+            reason = (f"sequence fields changed: {', '.join(changed)}"
+                      if changed else "dataset npz missing")
             if verbose:
                 print("[cloud-gate] reusing renders/maps; rebuilding "
-                      f"stage D only (sequence fields changed: "
-                      f"{', '.join(changed)})")
+                      f"stage D only ({reason})")
         elif verbose:
             print("[cloud-gate] reuse requested but the existing "
                   "dataset was built with a different render config — "
@@ -357,6 +358,15 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
         with open(sidecar, "w") as f:
             json.dump({"config": ds_cfg, "npz": npz}, f, indent=2)
     if npz is None:
+        # A full rebuild into an existing work_dir must not mix corpora:
+        # the stage drivers only ADD folders and stage D scans ALL of
+        # them (sequences.py), so stale outputs from a previous config
+        # (e.g. a larger n_folders) would silently blend into the new
+        # dataset — exactly what the sidecar exists to prevent.
+        for sub in ("patches", "renders", "maps", "nc"):
+            stale = os.path.join(work_dir, sub)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         patches = os.path.join(work_dir, "patches")
         if cfg.from_nc:
             from ..datagen.lespatch import process_all_nc_files
