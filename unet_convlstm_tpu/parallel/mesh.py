@@ -65,6 +65,7 @@ class MeshRules:
     """Partition rules applied to the params pytree by leaf role."""
     mesh: Mesh
     shard_model_channels: bool = False  # TP seam: conv out-channels on 'model'
+    shard_opt_state_data: bool = False  # ZeRO-1: optimizer moments on 'data'
 
     def param_spec(self, path, leaf) -> P:
         """``path``: tuple of pytree dict keys (may be empty when unknown).
@@ -84,6 +85,30 @@ class MeshRules:
             return P(*spec)
         return P()
 
+    def opt_state_spec(self, path, leaf) -> P:
+        """ZeRO-1 rule for optimizer-state leaves: shard each floating
+        moment over the ``data`` axis on its largest still-unsharded,
+        divisible dimension, ON TOP of the TP channel rule. Params stay
+        replicated — each device owns 1/data of the AdamW moments, updates
+        its shard, and XLA all-gathers the param delta (the ZeRO-1
+        communication pattern, for free from sharding propagation).
+        Gradients are bit-identical to the replicated form because every
+        optimizer op here is elementwise over the leaf."""
+        base = self.param_spec(path, leaf)
+        data_size = self.mesh.shape.get("data", 1)
+        ndim = getattr(leaf, "ndim", 0)
+        if (not self.shard_opt_state_data or data_size <= 1 or ndim == 0
+                or not jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return base
+        spec = list(base) + [None] * (ndim - len(base))
+        free = [i for i in range(ndim)
+                if spec[i] is None and leaf.shape[i] % data_size == 0]
+        if not free:
+            return base
+        best = max(free, key=lambda i: leaf.shape[i])
+        spec[best] = "data"
+        return P(*spec)
+
     def params_sharding(self, params):
         """Alias of ``tree_sharding`` kept for the params-only call sites."""
         return self.tree_sharding(params)
@@ -97,10 +122,16 @@ class MeshRules:
         their params (adam's mu/nu mirror the param tree), which is what
         makes TP *training* — not just a sharded forward — work: each
         device updates only its channel shard of params+moments, and XLA
-        inserts the gradient collectives."""
+        inserts the gradient collectives.
+
+        With ``shard_opt_state_data`` (ZeRO-1), leaves under an
+        ``opt_state`` key additionally shard over ``data``
+        (``opt_state_spec``); params/stats keep the param rule."""
         def leaf_sharding(key_path, leaf):
             keys = tuple(getattr(k, "key", getattr(k, "name", ""))
                          for k in key_path)
-            return NamedSharding(self.mesh, self.param_spec(keys, leaf))
+            rule = (self.opt_state_spec if "opt_state" in keys
+                    else self.param_spec)
+            return NamedSharding(self.mesh, rule(keys, leaf))
 
         return jax.tree_util.tree_map_with_path(leaf_sharding, tree)

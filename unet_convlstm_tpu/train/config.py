@@ -45,6 +45,7 @@ class TrainConfig:
     remat: bool = False           # jax.checkpoint the per-frame encoder
     mesh_data: Optional[int] = None   # None → all devices
     mesh_model: int = 1
+    zero1: bool = False           # shard AdamW moments over 'data' (ZeRO-1)
     checkpoint_dir: str = "checkpoints"
     tensorboard_dir: str = ""     # optional TB scalar logging
     log_every: int = 50

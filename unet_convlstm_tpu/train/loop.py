@@ -158,10 +158,13 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
              "opt_state": tx.init(variables["params"])}
 
     # mesh_model>1 → tensor-parallel training: conv kernels and their AdamW
-    # moments channel-sharded over 'model' (everything else replicated)
+    # moments channel-sharded over 'model' (everything else replicated).
+    # zero1 → additionally shard the optimizer moments over 'data' (ZeRO-1:
+    # params replicated, each device owns 1/data of the AdamW state).
     from ..parallel.mesh import MeshRules
 
-    rules = MeshRules(mesh, shard_model_channels=(mesh.shape["model"] > 1))
+    rules = MeshRules(mesh, shard_model_channels=(mesh.shape["model"] > 1),
+                      shard_opt_state_data=cfg.zero1)
     state_shard = rules.tree_sharding(state)
     state = jax.device_put(state, state_shard)
 
