@@ -23,11 +23,13 @@ CFG = {"type": "custom", "base_ch": 64, "use_skip_lstm": True,
        "lstm_layers": 1}
 
 
-def build(B, unroll, remat=False, cost_only=False, base_ch=64):
+def build(B, unroll, remat=False, cost_only=False, base_ch=64,
+          model_cfg=None):
     rng = np.random.default_rng(0)
     x_raw = rng.random((B, T, H, H, 2), np.float32) * 3
     y_raw = rng.standard_normal((B, T, H, H, 1)).astype(np.float32)
-    _, init_fn, apply_fn, _ = build_model(dict(CFG, base_ch=base_ch))
+    _, init_fn, apply_fn, _ = build_model(
+        model_cfg if model_cfg is not None else dict(CFG, base_ch=base_ch))
     af = functools.partial(apply_fn, unroll=unroll, remat=remat)
     variables = init_fn(jax.random.PRNGKey(0))
     variables = jax.device_put(variables, replicated_sharding(mesh))
@@ -54,8 +56,10 @@ def cost(B=32, unroll=10):
           f"arith intensity {fl/by:.0f} FLOP/B (ridge ~241)")
 
 
-def measure(tag, B, unroll, remat=False, iters=8, base_ch=64):
-    step, state, xd, yd = build(B, unroll, remat, base_ch=base_ch)
+def measure(tag, B, unroll, remat=False, iters=8, base_ch=64,
+            model_cfg=None):
+    step, state, xd, yd = build(B, unroll, remat, base_ch=base_ch,
+                                model_cfg=model_cfg)
     for _ in range(3):
         state, loss, _ = step(state, xd, yd)
     float(loss)
@@ -88,6 +92,32 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"{tag}: FAILED {type(e).__name__}: {e}",
                       flush=True)
+    elif which == "resnet":
+        # the reference DRIVER's default family (main.py:213
+        # USE_PRETRAINED=True → PretrainedTemporalUNet, resnet18.py:19)
+        # at production geometry (128², T=12). Encoder trained — the
+        # frozen-ImageNet config needs a .pth; fwd+bwd cost is the same
+        # (frozen only masks the optimizer update for encoder params).
+        RCFG = {"type": "resnet18", "freeze_encoder": False}
+        for tag, B, unroll, remat in [
+            ("resnet18 B=8  unroll=12", 8, 12, False),
+            ("resnet18 B=16 unroll=12", 16, 12, False),
+            ("resnet18 B=32 unroll=12", 32, 12, False),
+            ("resnet18 B=32 unroll=12 remat", 32, 12, True),
+            ("resnet18 B=64 unroll=12", 64, 12, False),
+        ]:
+            try:
+                step, state, xd, yd = build(B, unroll, remat,
+                                            cost_only=True, model_cfg=RCFG)
+                ca = step.lower(state, xd, yd).compile().cost_analysis()
+                fl, by = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+                del step, state, xd, yd
+                measure(tag, B, unroll, remat, model_cfg=RCFG)
+                print(f"  {fl/1e12:.1f} TFLOP/step, {by/1e9:.0f} GB/step, "
+                      f"FLOP floor {fl/197e12*1e3:.0f} ms", flush=True)
+            except Exception as e:
+                print(f"{tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
     elif which == "width":
         # model-width scaling on one chip: the reference tops out at
         # base_ch 64 (unet.py:135); wider models are progressively more

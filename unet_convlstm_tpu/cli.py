@@ -416,6 +416,8 @@ def cmd_cloud_gate(args):
         cfg = dataclasses.replace(cfg, render_batch_size=args.render_batch)
     if args.from_nc:
         cfg = dataclasses.replace(cfg, from_nc=True)
+    if args.model_family != "custom":
+        cfg = dataclasses.replace(cfg, model_family=args.model_family)
     # geometry overrides (reference temporal depth: seq_len=12 folders of
     # 49 samples, build_sequences.py:15-16 — the defaults keep gates cheap,
     # these knobs run them at the real dataset contract)
@@ -739,6 +741,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(lespatch 128/64 overlap tiling at production "
                          "geometry) instead of writing patch pkls directly"
                          " — the full .nc -> trained-model chain")
+    cg.add_argument("--model-family", default="custom",
+                    dest="model_family", choices=("custom", "resnet18"),
+                    help="model family the gate trains: custom "
+                         "(TemporalUNetDualView) or resnet18 "
+                         "(PretrainedTemporalUNet, the reference driver's "
+                         "default — main.py:213; encoder trained, no "
+                         "ImageNet .pth exists in this image)")
     cg.add_argument("--render-batch", type=int, default=1,
                     help="stage-B patches per dispatch (one vmapped SPMD "
                          "program; amortizes dispatch on 1 chip)")

@@ -57,6 +57,14 @@ class CloudGateConfig:
     # target channels: "w" (reference MAP_TYPE, C=1) or a multi-letter
     # string like "wvu" (the 3-channel config, BASELINE.json configs[3])
     map_type: str = "w"
+    # model family trained by the gate: "custom" (TemporalUNetDualView,
+    # reference train/unet.py:131) or "resnet18" (PretrainedTemporalUNet,
+    # the reference DRIVER's default — main.py:213 USE_PRETRAINED=True,
+    # train/resnet18.py:19). No ImageNet .pth exists in this image, so the
+    # resnet gate trains its encoder (freeze_encoder=False, explicit — the
+    # registry would force the same with a warning); base_ch is ignored by
+    # the resnet family (fixed ResNet18 widths).
+    model_family: str = "custom"
     use_mask: bool = False
     # The reference's 1.1 radiance threshold (unet.py:279) is calibrated
     # for Mitsuba spp-8192 renders (in-cloud pixels ≫ 1.1). The synthetic
@@ -300,6 +308,9 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     from .loop import fit
 
     cfg = cfg or CloudGateConfig()
+    if cfg.model_family not in ("custom", "resnet18"):
+        raise ValueError(f"unknown model_family {cfg.model_family!r} "
+                         "(known: custom, resnet18)")
     t0 = time.time()
     os.makedirs(work_dir, exist_ok=True)
     ds_cfg = {k: getattr(cfg, k) for k in DATASET_FIELDS}
@@ -430,14 +441,20 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
         with open(sidecar, "w") as f:
             json.dump({"config": ds_cfg, "npz": npz}, f, indent=2)
 
+    if cfg.model_family == "resnet18":
+        model_cfg = {"type": "resnet18",
+                     "out_channels": len(cfg.map_type),
+                     "freeze_encoder": False}
+    else:
+        model_cfg = {"type": "custom", "base_ch": cfg.base_ch,
+                     "out_channels": len(cfg.map_type),
+                     "use_skip_lstm": True, "lstm_layers": 1}
     tc = TrainConfig(npz_path=npz, batch_size=cfg.batch_size,
                      epochs=cfg.epochs, checkpoint_dir="", mesh_data=1,
                      use_mask=cfg.use_mask,
                      mask_threshold=cfg.mask_threshold,
                      guard=True,  # production posture (configs/cloud_*.json)
-                     model={"type": "custom", "base_ch": cfg.base_ch,
-                            "out_channels": len(cfg.map_type),
-                            "use_skip_lstm": True, "lstm_layers": 1})
+                     model=model_cfg)
     ds = NPZSequenceDataset(npz, mask_threshold=cfg.mask_threshold)
     if cfg.use_mask:
         frac = float((ds.X[:, :, 0:1] > cfg.mask_threshold).mean())
