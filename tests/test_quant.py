@@ -119,6 +119,54 @@ def test_quantize_tree_full_model_forward():
     assert up["wt_s"].shape == (up["wt_q"].shape[2],)
 
 
+@pytest.mark.slow
+def test_quantize_tree_resnet_family_forward():
+    """The reference DRIVER's default family (PretrainedTemporalUNet,
+    main.py:213) through the int8 path: quantize_tree must rewrite every
+    resnet kernel — the 7x7 stride-2 stem with explicit padding, the
+    strided BasicBlock downsample 1x1s, the decoder convs — and the
+    untouched apply must dispatch them all to the int8 MXU path while
+    tracking the float forward. Streaming carry included (the serve
+    --int8 path on a resnet checkpoint)."""
+    from unet_convlstm_tpu.models.resnet_unet import (
+        ResNetUNetConfig, resnet_unet_apply, resnet_unet_init,
+        resnet_unet_init_state)
+
+    cfg = ResNetUNetConfig(freeze_encoder=False)
+    variables = resnet_unet_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 2, 32, 32, 2))
+    ref, _, _ = resnet_unet_apply(variables, x, cfg, train=False,
+                                  policy=FP32_POLICY)
+    qv = quantize_tree(variables)
+    q, _, _ = resnet_unet_apply(qv, x, cfg, train=False, policy=FP32_POLICY)
+    assert q.shape == ref.shape
+    assert _rel_l2(q, ref) < 0.08          # int8 noise through 20+ convs
+
+    # every 4-D conv kernel was rewritten (stem, blocks, downsamples,
+    # lstms, decoder, head), none left in float
+    leaves = jax.tree_util.tree_leaves_with_path(qv["params"])
+    n_q = sum(1 for path, leaf in leaves
+              if path[-1].key == "w_q" and leaf.dtype == jnp.int8)
+    n_w4 = sum(1 for path, leaf in
+               jax.tree_util.tree_leaves_with_path(variables["params"])
+               if path[-1].key == "w" and leaf.ndim == 4)
+    assert n_q == n_w4 > 20
+    assert not any(path[-1].key == "w" and leaf.ndim == 4
+                   for path, leaf in leaves)
+
+    # streaming carry on the quantized resnet (serve --int8): dynamic
+    # activation scales differ per dispatch, so requantization noise only
+    state = resnet_unet_init_state(cfg, 1, 32, 32)
+    outs = []
+    for t in range(2):
+        y, state, _ = resnet_unet_apply(qv, x[:, t:t + 1], cfg,
+                                        train=False, state=state,
+                                        policy=FP32_POLICY)
+        outs.append(y)
+    np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(q),
+                               rtol=6e-2, atol=6e-3)
+
+
 def test_quantized_streaming_matches_quantized_full():
     """The O(1)-per-frame streaming carry works unchanged on a quantized
     model (the serving path, serve.py). NOTE the tolerance: activation
