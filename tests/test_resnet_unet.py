@@ -308,3 +308,61 @@ def test_frozen_pretrained_end_to_end(tmp_path):
     sd0 = _synthetic_resnet18_sd()
     got_w = exported["model_state"]["encoder.layer1.0.conv2.weight"].numpy()
     np.testing.assert_array_equal(got_w, sd0["layer1.0.conv2.weight"].numpy())
+
+
+@pytest.mark.slow
+def test_resnet_family_dp_training_step_matches_single_device(rng):
+    """The second model family over a real device mesh: one full training
+    step of the resnet18 family with batch sharded over a 2-device mesh
+    (params replicated, XLA psum over the mesh) produces the same params
+    as the single-device step. Every other resnet test — and every cloud
+    golden — runs mesh_data=1; this is the family's DP seam. (2 devices,
+    not 8: the seam — batch sharding + gradient psum — is device-count
+    independent, and 8-way SPMD partitioning of the ~60-conv backward
+    pushes the CPU compile past 10 minutes.)
+
+    f32 + plain SGD for the same reason as the TP/ZeRO equivalence tests:
+    adaptive optimizers amplify f32 reduction-order noise to lr-scale
+    param deltas."""
+    import functools
+
+    import optax
+
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.ops.normalize import NormStats
+    from unet_convlstm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                 replicated_sharding)
+    from unet_convlstm_tpu.train import make_train_step
+
+    _, init_fn, apply_fn, _ = build_model(
+        {"type": "resnet18", "freeze_encoder": False})
+    apply32 = functools.partial(apply_fn, policy=FP32_POLICY)
+    stats = NormStats(norm_const=2.0, min_vel=-5.0, max_vel=5.0,
+                      y_scale=2.0, trans_min=-2.0, trans_max=2.0)
+    x = rng.random((8, 2, 32, 32, 2), dtype=np.float64).astype(np.float32)
+    y = rng.standard_normal((8, 2, 32, 32, 1)).astype(np.float32)
+    tx = optax.sgd(1e-2)
+
+    def run(mesh):
+        variables = init_fn(jax.random.PRNGKey(0))
+        state = {"params": variables["params"], "stats": variables["stats"],
+                 "opt_state": tx.init(variables["params"])}
+        if mesh is not None:
+            state = jax.device_put(state, replicated_sharding(mesh))
+            xd = jax.device_put(x, batch_sharding(mesh))
+            yd = jax.device_put(y, batch_sharding(mesh))
+        else:
+            xd, yd = jnp.asarray(x), jnp.asarray(y)
+        step = make_train_step(apply32, tx, stats, use_mask=False, mesh=mesh)
+        state, loss, _ = step(state, xd, yd)
+        return jax.device_get(state["params"]), float(loss)
+
+    p_ref, loss_ref = run(None)
+    p_dp, loss_dp = run(make_mesh(data=2, devices=jax.devices()[:2]))
+    assert np.isfinite(loss_dp)
+    np.testing.assert_allclose(loss_dp, loss_ref, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-6),
+        p_dp, p_ref)
