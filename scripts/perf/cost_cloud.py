@@ -24,7 +24,7 @@ CFG = {"type": "custom", "base_ch": 64, "use_skip_lstm": True,
 
 
 def build(B, unroll, remat=False, cost_only=False, base_ch=64,
-          model_cfg=None):
+          model_cfg=None, accum_steps=1):
     rng = np.random.default_rng(0)
     x_raw = rng.random((B, T, H, H, 2), np.float32) * 3
     y_raw = rng.standard_normal((B, T, H, H, 1)).astype(np.float32)
@@ -38,7 +38,7 @@ def build(B, unroll, remat=False, cost_only=False, base_ch=64,
              "opt_state": jax.device_put(tx.init(variables["params"]),
                                          replicated_sharding(mesh))}
     step = make_train_step(af, tx, stats, use_mask=False, mesh=mesh,
-                           donate=not cost_only)
+                           donate=not cost_only, accum_steps=accum_steps)
     xd = jax.device_put(x_raw, batch_sharding(mesh))
     yd = jax.device_put(y_raw, batch_sharding(mesh))
     return step, state, xd, yd
@@ -57,9 +57,10 @@ def cost(B=32, unroll=10):
 
 
 def measure(tag, B, unroll, remat=False, iters=8, base_ch=64,
-            model_cfg=None):
+            model_cfg=None, accum_steps=1):
     step, state, xd, yd = build(B, unroll, remat, base_ch=base_ch,
-                                model_cfg=model_cfg)
+                                model_cfg=model_cfg,
+                                accum_steps=accum_steps)
     for _ in range(3):
         state, loss, _ = step(state, xd, yd)
     float(loss)
@@ -92,6 +93,22 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"{tag}: FAILED {type(e).__name__}: {e}",
                       flush=True)
+    elif which == "accum":
+        # gradient accumulation: effective batch B at the HBM footprint
+        # of B/K — the THIRD answer to the B=64 question (resident B=64
+        # OOMs at 16.6 G; remat fits-but-loses at 678 f/s). If B=64/K=2
+        # beats 875 f/s the optimizer/weight-read amortization is real;
+        # if it matches, accumulation is free effective-batch headroom.
+        for tag, B, K in [
+            ("B=32 accum=1 (prod baseline)", 32, 1),
+            ("B=64 accum=2 (HBM of B=32)", 64, 2),
+            ("B=128 accum=4", 128, 4),
+        ]:
+            try:
+                measure(tag, B, 12, accum_steps=K)
+            except Exception as e:
+                print(f"{tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
     elif which == "resnet":
         # the reference DRIVER's default family (main.py:213
         # USE_PRETRAINED=True → PretrainedTemporalUNet, resnet18.py:19)

@@ -22,6 +22,11 @@ class TrainConfig:
     split_seed: int = 42          # reference main.py:244
     # optimization (reference main.py:215-218, 106, 278-280)
     batch_size: int = 32
+    # gradient accumulation: batch_size is processed as accum_steps scanned
+    # microbatches before each optimizer update — effective batch batch_size
+    # at the HBM footprint of batch_size/accum_steps (docs/PERF.md: B=64
+    # OOMs resident, remat fits-but-loses; this is the third option)
+    accum_steps: int = 1
     epochs: int = 200
     lr: float = 1e-3
     weight_decay: float = 1e-4

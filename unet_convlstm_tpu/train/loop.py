@@ -139,6 +139,16 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     if cfg.batch_size % n_data:
         raise ValueError(f"batch {cfg.batch_size} not divisible by "
                          f"data-parallel degree {n_data}")
+    if cfg.accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {cfg.accum_steps}")
+    if cfg.batch_size % cfg.accum_steps:
+        raise ValueError(f"batch {cfg.batch_size} not divisible by "
+                         f"accum_steps {cfg.accum_steps}")
+    if (cfg.batch_size // cfg.accum_steps) % n_data:
+        raise ValueError(
+            f"microbatch {cfg.batch_size // cfg.accum_steps} "
+            f"(batch {cfg.batch_size} / accum_steps {cfg.accum_steps}) not "
+            f"divisible by data-parallel degree {n_data}")
 
     import functools
 
@@ -171,7 +181,8 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
     train_step = make_train_step(
         apply_fn, tx, dataset.stats, use_mask=cfg.use_mask, mesh=mesh,
         state_sharding=state_shard,
-        guard_nonfinite_stats=cfg.skip_nonfinite_updates is not None)
+        guard_nonfinite_stats=cfg.skip_nonfinite_updates is not None,
+        accum_steps=cfg.accum_steps)
     eval_step = make_eval_step(
         apply_fn, dataset.stats, use_mask=cfg.use_mask, mesh=mesh,
         variables_sharding={"params": state_shard["params"],

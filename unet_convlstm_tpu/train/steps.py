@@ -31,6 +31,23 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 TrainState = Dict[str, Any]  # {"params", "stats", "opt_state"}
 
 
+def _guarded_bn(new_opt, grads, new_bn, old_stats):
+    """BatchNorm running stats committed ONLY when the update was finite —
+    see ``_make_step_core``'s guard_nonfinite_stats docstring."""
+    if hasattr(new_opt, "notfinite_count"):
+        # reuse the wrapper's own decision (resets to 0 on a finite
+        # step) — one scalar compare, and it can never disagree
+        # with what the optimizer actually did
+        finite = new_opt.notfinite_count == 0
+    else:  # tx built without apply_if_finite: decide ourselves
+        finite = jnp.all(jnp.stack([
+            jnp.all(jnp.isfinite(g))
+            for g in jax.tree_util.tree_leaves(grads)]))
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(finite, n, o.astype(n.dtype)),
+        new_bn, old_stats)
+
+
 def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
                     norm_stats: NormStats, use_mask: bool,
                     grad_weight: float,
@@ -66,18 +83,7 @@ def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
                                      state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         if guard_nonfinite_stats:
-            if hasattr(new_opt, "notfinite_count"):
-                # reuse the wrapper's own decision (resets to 0 on a finite
-                # step) — one scalar compare, and it can never disagree
-                # with what the optimizer actually did
-                finite = new_opt.notfinite_count == 0
-            else:  # tx built without apply_if_finite: decide ourselves
-                finite = jnp.all(jnp.stack([
-                    jnp.all(jnp.isfinite(g))
-                    for g in jax.tree_util.tree_leaves(grads)]))
-            new_bn = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o.astype(n.dtype)),
-                new_bn, state["stats"])
+            new_bn = _guarded_bn(new_opt, grads, new_bn, state["stats"])
         sums = metric_sums_update(
             metric_sums_init(),
             denormalize_y(y_pred.astype(jnp.float32), norm_stats),
@@ -90,12 +96,88 @@ def _make_step_core(apply_fn: Callable, tx: optax.GradientTransformation,
     return step_core
 
 
+def _make_accum_step_core(apply_fn: Callable,
+                          tx: optax.GradientTransformation,
+                          norm_stats: NormStats, use_mask: bool,
+                          grad_weight: float, accum_steps: int,
+                          guard_nonfinite_stats: bool = False, mesh=None):
+    """Gradient-accumulation step body: the [B] batch is split into
+    ``accum_steps`` microbatches, a ``lax.scan`` accumulates their mean
+    gradient (every microbatch differentiated at the SAME params — textbook
+    accumulation, not sequential SGD), then ONE optimizer update fires. Only
+    one microbatch's activations are live at a time, so the effective batch
+    B costs the HBM of B/accum_steps — the third answer to the B=64 question
+    in docs/PERF.md (B=64 OOMs resident; remat fits but loses; accumulation
+    fits at B=32's activation footprint).
+
+    Semantic deltas vs one resident [B] step, both inherent to accumulation:
+    BatchNorm batch statistics are per-microbatch (running stats thread
+    through the scan), and a ``use_mask=True`` loss normalizes per
+    microbatch's own mask sum (the reported loss is their mean).
+    """
+
+    def step_core(state: TrainState, x_raw, y_raw):
+        K = accum_steps
+
+        def to_micro(a):
+            a = a.reshape((K, a.shape[0] // K) + a.shape[1:])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                a = jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, P(None, "data")))
+            return a
+
+        def loss_fn(params, bn, x, y, mask):
+            y_pred, _, new_bn = apply_fn(
+                {"params": params, "stats": bn}, x, train=True)
+            loss = compute_loss(y_pred, y, mask, use_mask,
+                                grad_weight=grad_weight)
+            return loss, (new_bn, y_pred)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, microbatch):
+            bn, gsum, loss_sum, sums = carry
+            x_r, y_r = microbatch
+            x = normalize_x(x_r, norm_stats)
+            y = normalize_y(y_r, norm_stats)
+            mask = compute_mask(x_r, norm_stats)
+            (loss, (new_bn, y_pred)), grads = grad_fn(
+                state["params"], bn, x, y, mask)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            sums = metric_sums_update(
+                sums,
+                denormalize_y(y_pred.astype(jnp.float32), norm_stats),
+                denormalize_y(y, norm_stats), mask, use_mask)
+            return (new_bn, gsum, loss_sum + loss.astype(jnp.float32),
+                    sums), None
+
+        gzero = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
+        carry0 = (state["stats"], gzero, jnp.zeros((), jnp.float32),
+                  metric_sums_init())
+        (new_bn, gsum, loss_sum, sums), _ = jax.lax.scan(
+            body, carry0, (to_micro(x_raw), to_micro(y_raw)))
+
+        grads = jax.tree_util.tree_map(lambda g: g / K, gsum)
+        loss = loss_sum / K
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        if guard_nonfinite_stats:
+            new_bn = _guarded_bn(new_opt, grads, new_bn, state["stats"])
+        return ({"params": new_params, "stats": new_bn,
+                 "opt_state": new_opt}, loss, sums)
+
+    return step_core
+
+
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     norm_stats: NormStats, use_mask: bool = False,
                     grad_weight: float = 0.005,
                     mesh=None, donate: bool = True,
                     state_sharding=None,
-                    guard_nonfinite_stats: bool = False):
+                    guard_nonfinite_stats: bool = False,
+                    accum_steps: int = 1):
     """Build the jitted step: (state, x_raw, y_raw) → (state, loss, sums).
 
     ``apply_fn(variables, x_seq, state=None, train=...)`` → (y_seq, state,
@@ -106,9 +188,19 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     training (conv kernels + their AdamW moments channel-sharded over the
     mesh 'model' axis; XLA inserts the activation gathers and gradient
     reduce-scatters). Default: state replicated (pure DP).
+
+    ``accum_steps > 1``: gradient accumulation — the [B] batch is processed
+    as ``accum_steps`` scanned microbatches of B/accum_steps rows before the
+    single optimizer update (see ``_make_accum_step_core``). B must be
+    divisible by accum_steps (and the microbatch by the mesh 'data' degree).
     """
-    step = _make_step_core(apply_fn, tx, norm_stats, use_mask, grad_weight,
-                           guard_nonfinite_stats)
+    if accum_steps > 1:
+        step = _make_accum_step_core(apply_fn, tx, norm_stats, use_mask,
+                                     grad_weight, accum_steps,
+                                     guard_nonfinite_stats, mesh=mesh)
+    else:
+        step = _make_step_core(apply_fn, tx, norm_stats, use_mask,
+                               grad_weight, guard_nonfinite_stats)
 
     kwargs: Dict[str, Any] = {}
     if donate:
