@@ -1,34 +1,46 @@
 """Measure int8 PTQ inference throughput vs bf16 at production geometry.
 
-Workload: the reference's production forward pass (TemporalUNetDualView
-base_ch 64, 128^2, T=12 — main.py:215 shapes), inference mode, steady
-state. The training-side roofline says this config is FLOP-bound at 65%
-MXU (docs/PERF.md), so the v5e's 2x int8 MXU rate bounds the ideal
-quantized speedup at <2x (the bandwidth-bound BN/elementwise share does
-not shrink).
+Workload: production forward passes at the reference's cloud shapes
+(128^2, T=12 — main.py:215) for BOTH model families:
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf/bench_int8.py
+* custom (TemporalUNetDualView base_ch 64) — FLOP-bound at 65% MXU
+  (docs/PERF.md), so the v5e's 2x int8 MXU rate bounds the ideal
+  quantized speedup at <2x (the bandwidth-bound BN/elementwise share does
+  not shrink). Measured r2: 1.31x.
+* resnet18 (PretrainedTemporalUNet — the reference driver's default,
+  main.py:213) — HBM-bound at ~95% of the bandwidth roofline
+  (docs/PERF.md), the regime where int8's byte halving on weights should
+  pay MORE than the MXU-rate bound suggests. This is the family's named
+  perf lever (VERDICT r3 #3).
+
+Run (serialize with other TPU work):
+    python scripts/perf/bench_int8.py [custom|resnet18|both]
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unet_convlstm_tpu.models.temporal_unet import (TemporalUNetConfig,
-                                                    temporal_unet_apply,
-                                                    temporal_unet_init)
+from unet_convlstm_tpu.models.registry import build_model
 from unet_convlstm_tpu.ops.quant import quantize_tree
 
 B, T, HW = 8, 12, 128
 STEPS = 20
 
+FAMILIES = {
+    "custom": {"type": "custom", "base_ch": 64, "use_skip_lstm": True,
+               "lstm_layers": 1},
+    "resnet18": {"type": "resnet18", "freeze_encoder": False},
+}
 
-def measure(variables, cfg, label):
+
+def measure(apply_fn, variables, label):
     @jax.jit
     def fwd(v, x):
-        y, _, _ = temporal_unet_apply(v, x, cfg, train=False)
+        y, _, _ = apply_fn(v, x, train=False)
         return y
 
     x = jnp.asarray(np.random.default_rng(0).uniform(
@@ -41,16 +53,24 @@ def measure(variables, cfg, label):
     float(y.sum())
     dt = (time.time() - t0) / STEPS
     fps = B * T / dt
-    print(f"{label:>6}: {dt * 1e3:7.1f} ms/fwd  {fps:8.1f} frames/s")
+    print(f"{label:>16}: {dt * 1e3:7.1f} ms/fwd  {fps:8.1f} frames/s",
+          flush=True)
     return fps
 
 
+def run_family(name):
+    cfg = FAMILIES[name]
+    _, init_fn, apply_fn, _ = build_model(dict(cfg))
+    variables = init_fn(jax.random.PRNGKey(0))
+    f_bf16 = measure(apply_fn, variables, f"{name} bf16")
+    f_int8 = measure(apply_fn, quantize_tree(variables), f"{name} int8")
+    print(f"{name}: int8 / bf16 = {f_int8 / f_bf16:.2f}x", flush=True)
+
+
 def main():
-    cfg = TemporalUNetConfig(base_ch=64, use_skip_lstm=True)
-    variables = temporal_unet_init(jax.random.PRNGKey(0), cfg)
-    f_bf16 = measure(variables, cfg, "bf16")
-    f_int8 = measure(quantize_tree(variables), cfg, "int8")
-    print(f"int8 / bf16 = {f_int8 / f_bf16:.2f}x")
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    for name in (FAMILIES if which == "both" else [which]):
+        run_family(name)
 
 
 if __name__ == "__main__":

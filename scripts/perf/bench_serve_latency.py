@@ -88,12 +88,15 @@ def main() -> int:
 
     results = {}
     pred = StreamingPredictor(ckpt)
+    # label results with the checkpoint's ACTUAL model config, not the CLI
+    # default — an existing --ckpt may have any width
+    base_ch = pred.model_cfg.get("base_ch", args.base_ch)
     for batch in (1, 8):
         key = f"bf16_B{batch}"
         results[key] = bench_session(pred, batch, args.image, args.warm,
                                      args.meas, rng)
         print(json.dumps({"config": key, "image": args.image,
-                          "base_ch": args.base_ch, **results[key]}),
+                          "base_ch": base_ch, **results[key]}),
               flush=True)
 
     # two interleaved sessions: state carry must not add per-request cost

@@ -99,13 +99,19 @@ if __name__ == "__main__":
         # OOMs at 16.6 G; remat fits-but-loses at 678 f/s). If B=64/K=2
         # beats 875 f/s the optimizer/weight-read amortization is real;
         # if it matches, accumulation is free effective-batch headroom.
-        for tag, B, K in [
-            ("B=32 accum=1 (prod baseline)", 32, 1),
-            ("B=64 accum=2 (HBM of B=32)", 64, 2),
-            ("B=128 accum=4", 128, 4),
+        # Both families (VERDICT r3 #1): custom vs the 875 f/s B=32 knee,
+        # resnet18 vs its 2274 f/s B=32 baseline.
+        RCFG = {"type": "resnet18", "freeze_encoder": False}
+        for tag, B, K, mc in [
+            ("custom B=32 accum=1 (baseline)", 32, 1, None),
+            ("custom B=64 accum=2", 64, 2, None),
+            ("custom B=128 accum=4", 128, 4, None),
+            ("resnet18 B=32 accum=1 (baseline)", 32, 1, RCFG),
+            ("resnet18 B=64 accum=2", 64, 2, RCFG),
+            ("resnet18 B=128 accum=4", 128, 4, RCFG),
         ]:
             try:
-                measure(tag, B, 12, accum_steps=K)
+                measure(tag, B, 12, accum_steps=K, model_cfg=mc)
             except Exception as e:
                 print(f"{tag}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)

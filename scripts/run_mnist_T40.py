@@ -1,0 +1,114 @@
+"""Gate the reference's Moving-MNIST PRODUCTION temporal contract: T=40.
+
+The reference generator writes ``[10000, 40, 2, 64, 64]`` — seq_len=40
+(reference digits/build_moving_mnist.py:60-67) — but every MNIST golden so
+far trained at the driver's T=10 bench geometry. This run proves the
+scan/recurrence + HBM story at the generator's own production depth
+(VERDICT r3 #7): N subsampled for wall clock, full T=40 through the
+scanned ConvLSTM recurrences, fwd+bwd.
+
+Records val MAE/RMSE + streaming-rollout PSNR/SSIM (16 val sequences,
+rollout_scan ≡ streaming — parity tested) →
+results/mnist_golden_T40.json + a BASELINE.md row.
+
+Usage: python scripts/run_mnist_T40.py [--samples N] [--epochs E]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=1000)
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--npz", default="/tmp/mnist_T40.npz")
+    ap.add_argument("--out", default="results/mnist_golden_T40.json")
+    args = ap.parse_args()
+
+    from unet_convlstm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from unet_convlstm_tpu.data.moving_mnist import (
+        generate_moving_mnist, moving_mnist_to_xy, synthetic_digit_bank)
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.eval.image_metrics import psnr, ssim
+    from unet_convlstm_tpu.eval.rollout import rollout_scan
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.ops.normalize import normalize_y
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+
+    t0 = time.time()
+    if not os.path.exists(args.npz):
+        # reference contract: 2 digits, 64², T=40, vx target channel
+        data = generate_moving_mnist(seq_len=40, num_samples=args.samples,
+                                     image_size=64, num_digits=2,
+                                     digits=synthetic_digit_bank(), seed=0)
+        X, Y = moving_mnist_to_xy(data)
+        np.savez_compressed(args.npz, X=X, Y=Y)
+        print(f"wrote {args.npz} X{X.shape} Y{Y.shape}", flush=True)
+
+    model_cfg = {"type": "custom", "base_ch": 32, "use_skip_lstm": True,
+                 "use_attention": False, "lstm_layers": 1}
+    cfg = TrainConfig(npz_path=args.npz, batch_size=args.batch_size,
+                      epochs=args.epochs, checkpoint_dir="", mesh_data=1,
+                      model=model_cfg)
+    ds = NPZSequenceDataset(args.npz)
+    res = fit(cfg, dataset=ds)
+    hist = [h for h in res["history"] if "val_mae" in h]
+    best = min(hist, key=lambda h: float(h["val_mae"]))
+
+    # streaming rollout over 16 val sequences at full T=40 depth;
+    # PSNR/SSIM on normalized targets ([-1,1] → data_range 2), matching
+    # the T=10 goldens' convention (results/mnist_golden*.json)
+    _, val_idx = ds.train_val_split(cfg.train_frac, cfg.split_seed)
+    idx = np.asarray(val_idx[:16])
+    x_raw, y_raw = ds.get_batch_raw(idx)
+    _, _, apply_fn, init_state = build_model(model_cfg)
+    from unet_convlstm_tpu.ops.normalize import normalize_x
+
+    x = normalize_x(np.asarray(x_raw), ds.stats)
+    y = normalize_y(np.asarray(y_raw), ds.stats)
+    state = res["state"]
+    variables = {"params": state["params"], "stats": state["stats"]}
+    y_pred, _ = rollout_scan(apply_fn, variables, x, init_state)
+    p = float(psnr(y_pred, y, data_range=2.0))
+    s = float(ssim(y_pred, y, data_range=2.0))
+
+    out = {
+        "config": "mnist64_seq40_small_convlstm_unet"
+                  f"_b{args.batch_size}_{args.epochs}ep",
+        "contract": "reference digits/build_moving_mnist.py:61 seq_len=40 "
+                    f"(N subsampled to {args.samples} for wall clock)",
+        "epochs": args.epochs,
+        "samples": args.samples,
+        "val_mae": float(best["val_mae"]),
+        "val_rmse": float(best["val_rmse"]),
+        "best_epoch": int(best["epoch"]),
+        "final_val_mae": float(hist[-1]["val_mae"]),
+        "rollout_psnr_db": p,
+        "rollout_ssim": s,
+        "best_val_loss": res["best_val_loss"],
+        "wall_s": time.time() - t0,
+        "history": hist,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items() if k != "history"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -366,3 +366,41 @@ def test_resnet_family_dp_training_step_matches_single_device(rng):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-4, atol=1e-6),
         p_dp, p_ref)
+
+
+def test_encoder_export_roundtrips_through_pretrained_path(tmp_path, rng):
+    """Local-pretraining save side (VERDICT r3 #6): a trained resnet_unet's
+    encoder exported as a torchvision-format .pth must load back through
+    the registry's pretrained_path policy BIT-EXACT (and therefore be
+    freezable — meaningful features, not random ones)."""
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.utils.torch_weights import (
+        load_torch_resnet18, save_resnet18_encoder_pth)
+
+    cfg = ResNetUNetConfig(lstm_layers=1, freeze_encoder=False)
+    variables = resnet_unet_init(jax.random.PRNGKey(3), cfg)
+    pth = str(tmp_path / "local_encoder.pth")
+    save_resnet18_encoder_pth(jax.device_get(variables), pth)
+
+    # converter-level round trip: bit-exact (2-ch conv1 → adapt no-op)
+    loaded = load_torch_resnet18(pth, in_channels=2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        jax.device_get(variables["params"]["encoder"]), loaded["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        jax.device_get(variables["stats"]["encoder"]), loaded["stats"])
+
+    # registry-level: pretrained_path + freeze_encoder=True must HOLD
+    # (no random-encoder fallback warning) and init with our weights
+    cfg_dict = {"type": "resnet18", "pretrained_path": pth,
+                "freeze_encoder": True, "lstm_layers": 1}
+    _, init_fn, _, _ = build_model(cfg_dict)
+    assert cfg_dict["freeze_encoder"] is True
+    v2 = init_fn(jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["encoder"]["conv1"]["w"], np.float32),
+        np.asarray(variables["params"]["encoder"]["conv1"]["w"],
+                   np.float32))

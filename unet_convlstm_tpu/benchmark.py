@@ -61,6 +61,13 @@ def _log(msg: str) -> None:
 def run() -> dict:
     import jax
 
+    from .utils.compile_cache import enable_persistent_cache
+
+    # Warm starts: a re-dialed attempt (or the next round's bench) reuses
+    # the compiled step instead of losing minutes to a tunnel recompile —
+    # BENCH_r03.json attempt 1 burned its whole budget exactly there.
+    enable_persistent_cache()
+
     _log("importing framework + acquiring devices...")
 
     from .data.moving_mnist import (

@@ -422,10 +422,17 @@ def cmd_cloud_gate(args):
     # 49 samples, build_sequences.py:15-16 — the defaults keep gates cheap,
     # these knobs run them at the real dataset contract)
     for knob in ("seq_len", "n_folders", "n_samples", "epochs",
-                 "batch_size"):
+                 "batch_size", "seed"):
         v = getattr(args, knob)
         if v is not None:
             cfg = dataclasses.replace(cfg, **{knob: v})
+    # pretrain→freeze transfer knobs (train/cloud_gate.py docstrings)
+    if args.checkpoint_dir:
+        cfg = dataclasses.replace(cfg, checkpoint_dir=args.checkpoint_dir)
+    if args.pretrained_path:
+        cfg = dataclasses.replace(cfg, pretrained_path=args.pretrained_path)
+    if args.freeze_encoder:
+        cfg = dataclasses.replace(cfg, freeze_encoder=True)
     res = run_cloud_gate(args.work_dir, cfg, out_json=args.out,
                          reuse_dataset=args.reuse_dataset)
     raise SystemExit(0 if res["passed"] else 1)
@@ -761,6 +768,25 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--epochs", type=int, default=None)
     cg.add_argument("--batch-size", type=int, default=None,
                     dest="batch_size")
+    cg.add_argument("--seed", type=int, default=None,
+                    help="cloud-synthesis seed (a different seed builds a "
+                         "disjoint cloud corpus — used to hold out a "
+                         "pretraining dataset)")
+    cg.add_argument("--checkpoint-dir", default="", dest="checkpoint_dir",
+                    help="save the gate's best checkpoint here (pretrain "
+                         "flow: keep the trained weights for encoder "
+                         "export)")
+    cg.add_argument("--pretrained-path", default="",
+                    dest="pretrained_path",
+                    help="resnet18 family: local torchvision-format "
+                         "encoder .pth to initialize from "
+                         "(utils.save_resnet18_encoder_pth output or a "
+                         "real ImageNet resnet18-*.pth)")
+    cg.add_argument("--freeze-encoder", action="store_true",
+                    dest="freeze_encoder",
+                    help="resnet18 family: freeze the (pretrained) "
+                         "encoder — the reference's frozen-ImageNet "
+                         "configuration (main.py:213-214)")
     cg.add_argument("--reuse-dataset", action="store_true",
                     dest="reuse_dataset",
                     help="skip stages B/C/D when the work dir already "
@@ -798,6 +824,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Persistent XLA compilation cache: repeat invocations of the same
+    # program (gates, benches, resumed training) start warm instead of
+    # paying a multi-minute tunnel recompile. Opt out:
+    # UCT_NO_COMPILE_CACHE=1.
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     try:
         args.fn(args)
     except BrokenPipeError:

@@ -109,6 +109,18 @@ class CloudGateConfig:
     # vmapped SPMD program (amortizes tunnel round-trips on 1 chip;
     # shards over a mesh on real pods). Requires ms_calibrate_spp == 0.
     render_batch_size: int = 1
+    # Training knobs for the pretrain→freeze transfer flow (all excluded
+    # from DATASET_FIELDS, so reuse_dataset sweeps work):
+    # checkpoint_dir != "" saves the gate's best checkpoint (the PRETRAIN
+    # side: train on one seed, keep the weights); pretrained_path points
+    # the resnet18 family at a local torchvision-format encoder .pth
+    # (save_resnet18_encoder_pth output or a real ImageNet download) and
+    # freeze_encoder freezes it — the reference's frozen-ImageNet
+    # configuration (main.py:213-214, train/resnet18.py:41-44) realized
+    # with locally pretrained features.
+    checkpoint_dir: str = ""
+    pretrained_path: str = ""
+    freeze_encoder: bool = False
 
 
 # config fields that shape the on-disk dataset (stages B/C/D). Training
@@ -444,13 +456,16 @@ def run_cloud_gate(work_dir: str, cfg: Optional[CloudGateConfig] = None,
     if cfg.model_family == "resnet18":
         model_cfg = {"type": "resnet18",
                      "out_channels": len(cfg.map_type),
-                     "freeze_encoder": False}
+                     "freeze_encoder": cfg.freeze_encoder}
+        if cfg.pretrained_path:
+            model_cfg["pretrained_path"] = cfg.pretrained_path
     else:
         model_cfg = {"type": "custom", "base_ch": cfg.base_ch,
                      "out_channels": len(cfg.map_type),
                      "use_skip_lstm": True, "lstm_layers": 1}
     tc = TrainConfig(npz_path=npz, batch_size=cfg.batch_size,
-                     epochs=cfg.epochs, checkpoint_dir="", mesh_data=1,
+                     epochs=cfg.epochs,
+                     checkpoint_dir=cfg.checkpoint_dir, mesh_data=1,
                      use_mask=cfg.use_mask,
                      mask_threshold=cfg.mask_threshold,
                      guard=True,  # production posture (configs/cloud_*.json)

@@ -118,6 +118,11 @@ def _make_accum_step_core(apply_fn: Callable,
 
     def step_core(state: TrainState, x_raw, y_raw):
         K = accum_steps
+        if x_raw.shape[0] % K:
+            raise ValueError(
+                f"batch size {x_raw.shape[0]} is not divisible by "
+                f"accum_steps={K} — gradient accumulation splits the batch "
+                f"into K equal microbatches")
 
         def to_micro(a):
             a = a.reshape((K, a.shape[0] // K) + a.shape[1:])
@@ -218,7 +223,8 @@ def make_multi_train_step(apply_fn: Callable,
                           tx: optax.GradientTransformation,
                           norm_stats: NormStats, use_mask: bool = False,
                           grad_weight: float = 0.005, mesh=None,
-                          guard_nonfinite_stats: bool = False):
+                          guard_nonfinite_stats: bool = False,
+                          accum_steps: int = 1):
     """K training steps per dispatch: (state, x_raw [K,B,...],
     y_raw [K,B,...]) → (state, losses [K], summed metric sums).
 
@@ -226,9 +232,19 @@ def make_multi_train_step(apply_fn: Callable,
     device — one launch, one host round-trip — which amortizes dispatch
     overhead on high-latency links and lets XLA overlap the optimizer of
     step k with the forward of step k+1. Use when the K-batch window fits
-    HBM; the single-step variant streams otherwise."""
-    step_core = _make_step_core(apply_fn, tx, norm_stats, use_mask,
-                                grad_weight, guard_nonfinite_stats)
+    HBM; the single-step variant streams otherwise.
+
+    ``accum_steps > 1`` composes: each of the K dispatched steps runs the
+    scanned gradient-accumulation body (``_make_accum_step_core``) over its
+    own [B] batch — B must be divisible by accum_steps."""
+    if accum_steps > 1:
+        step_core = _make_accum_step_core(apply_fn, tx, norm_stats,
+                                          use_mask, grad_weight,
+                                          accum_steps,
+                                          guard_nonfinite_stats, mesh=mesh)
+    else:
+        step_core = _make_step_core(apply_fn, tx, norm_stats, use_mask,
+                                    grad_weight, guard_nonfinite_stats)
 
     def step_body(state, batch):
         x_raw, y_raw = batch

@@ -348,6 +348,51 @@ def export_pretrained_temporal_unet_checkpoint(variables: Dict[str, Any]
     return out
 
 
+def export_resnet18_encoder_state_dict(variables: Dict[str, Any]
+                                       ) -> Dict[str, np.ndarray]:
+    """Our resnet_unet {'params','stats'} → a torchvision-format resnet18
+    state_dict holding ONLY the encoder (``conv1.weight``, ``bn1.*``,
+    ``layer{1..4}.{0,1}.*`` — the naming ``load_torch_resnet18`` /
+    ``convert_resnet18_state_dict`` consume). Inverse of the encoder half
+    of ``convert_resnet18_state_dict``; round-trips bit-exact when the
+    input channel count matches (``_adapt_first_conv`` no-op).
+
+    This is the save side of LOCAL encoder pretraining: train the JAX
+    ResNet18-UNet on any local task, export its encoder with this, and
+    feed the ``.pth`` back as ``pretrained_path`` — the same frozen-
+    feature configuration the reference gets from ImageNet downloads
+    (reference train/resnet18.py:26-33,41-44), with no network."""
+    p, s = variables["params"]["encoder"], variables["stats"]["encoder"]
+    out: Dict[str, np.ndarray] = {}
+    _export_conv(out, "conv1", p["conv1"])
+    _export_bn(out, "bn1", p["bn1"], s["bn1"])
+    for li in range(1, 5):
+        for bi in range(2):
+            src = f"layer{li}_{bi}"
+            dst = f"layer{li}.{bi}"
+            bp, bs = p[src], s[src]
+            _export_conv(out, f"{dst}.conv1", bp["conv1"])
+            _export_conv(out, f"{dst}.conv2", bp["conv2"])
+            _export_bn(out, f"{dst}.bn1", bp["bn1"], bs["bn1"])
+            _export_bn(out, f"{dst}.bn2", bp["bn2"], bs["bn2"])
+            if "down_conv" in bp:
+                _export_conv(out, f"{dst}.downsample.0", bp["down_conv"])
+                _export_bn(out, f"{dst}.downsample.1", bp["down_bn"],
+                           bs["down_bn"])
+    return out
+
+
+def save_resnet18_encoder_pth(variables: Dict[str, Any], path: str) -> str:
+    """Write the encoder of a resnet_unet checkpoint as a torch ``.pth``
+    consumable by ``pretrained_path`` (torchvision resnet18 naming)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in export_resnet18_encoder_state_dict(variables).items()}
+    torch.save(sd, path)
+    return path
+
+
 def load_torch_resnet18(path: str, in_channels: int = 2) -> Dict[str, Any]:
     """Load + convert a local torchvision resnet18 checkpoint (.pth)."""
     import torch
