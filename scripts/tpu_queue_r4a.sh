@@ -22,12 +22,13 @@ START="${1:-1}"
 QUEUE_TAG=R4A
 tpu_queue_acquire
 
-tpu_queue_step 1 doctor 600 python -m unet_convlstm_tpu doctor
-tpu_queue_step 2 verify_drive 2400 bash scripts/verify_drive_r4.sh
-tpu_queue_step 3 bench_cold 900 python bench.py
-tpu_queue_step 4 bench_warm 900 python bench.py
-tpu_queue_step 5 accum 3600 python scripts/perf/cost_cloud.py accum
-tpu_queue_step 6 int8_both 2400 python scripts/perf/bench_int8.py both
-tpu_queue_step 7 serve_lat 2400 python scripts/perf/bench_serve_latency.py --int8
+# budgets sized for a degraded tunnel (~400 s per fresh compile observed
+# 2026-08-20; each step compiles several programs)
+tpu_queue_step 1 verify_drive 5400 bash scripts/verify_drive_r4.sh
+tpu_queue_step 2 bench_cold 1800 python bench.py
+tpu_queue_step 3 bench_warm 1800 python bench.py
+tpu_queue_step 4 accum 7200 python scripts/perf/cost_cloud.py accum
+tpu_queue_step 5 int8_both 5400 python scripts/perf/bench_int8.py both
+tpu_queue_step 6 serve_lat 5400 python scripts/perf/bench_serve_latency.py --int8
 
 echo "QUEUE R4A COMPLETE $(date -u +%H:%M:%S)" | tee -a /tmp/q_queue.log

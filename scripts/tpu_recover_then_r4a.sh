@@ -9,7 +9,9 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 export OMP_NUM_THREADS=1 MKL_NUM_THREADS=1
 
 BACKOFF="${BACKOFF:-600}"
-PROBE_TIMEOUT="${PROBE_TIMEOUT:-420}"
+# compile round-trips have been observed at ~400 s on a degraded day —
+# the probe budget must clear that, or a merely-slow tunnel reads as down
+PROBE_TIMEOUT="${PROBE_TIMEOUT:-900}"
 
 attempt=0
 while :; do

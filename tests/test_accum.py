@@ -194,3 +194,51 @@ def test_accum_config_validation(npz_path, tmp_path):
                       checkpoint_dir=str(tmp_path / "ck2"))
     with pytest.raises(ValueError, match="accum_steps"):
         fit(cfg)
+
+
+def test_multi_step_composes_with_accum(dataset, tiny_model):
+    """make_multi_train_step(accum_steps=2) ≡ K sequential accumulation
+    steps (ADVICE r3: K-step dispatch and gradient accumulation must
+    compose, not silently exclude each other)."""
+    variables, apply32 = tiny_model
+    from unet_convlstm_tpu.train.steps import make_multi_train_step
+
+    tx = optax.sgd(1e-2)
+    x_raw, y_raw = dataset.get_batch_raw(np.arange(4))
+    stats = dataset.stats
+    K = 2
+
+    single = make_train_step(apply32, tx, stats, use_mask=False,
+                             accum_steps=2, donate=False)
+    s1 = _fresh_state(variables, tx)
+    losses1 = []
+    for _ in range(K):
+        s1, loss, _ = single(s1, jnp.asarray(x_raw), jnp.asarray(y_raw))
+        losses1.append(float(loss))
+
+    multi = make_multi_train_step(apply32, tx, stats, use_mask=False,
+                                  accum_steps=2)
+    s2 = _fresh_state(variables, tx)
+    xs = jnp.asarray(np.stack([x_raw] * K))
+    ys = jnp.asarray(np.stack([y_raw] * K))
+    s2, losses2, _ = multi(s2, xs, ys)
+    np.testing.assert_allclose(np.asarray(losses2), losses1,
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-5),
+        jax.device_get(s1["params"]), jax.device_get(s2["params"]))
+
+
+def test_accum_indivisible_batch_raises_clearly(dataset, tiny_model):
+    """ADVICE r3: a batch not divisible by accum_steps must raise a clear
+    ValueError at trace time, not an opaque XLA reshape error."""
+    variables, apply32 = tiny_model
+    tx = optax.sgd(1e-2)
+    x_raw, y_raw = dataset.get_batch_raw(np.arange(3))
+    step = make_train_step(apply32, tx, dataset.stats, use_mask=False,
+                           accum_steps=2, donate=False)
+    state = _fresh_state(variables, tx)
+    with pytest.raises(ValueError, match="not divisible by"):
+        step(state, jnp.asarray(x_raw), jnp.asarray(y_raw))
