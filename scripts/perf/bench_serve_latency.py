@@ -119,6 +119,31 @@ def main() -> int:
     print(json.dumps({"config": "bf16_B1_interleaved2",
                       **results["bf16_B1_interleaved2"]}), flush=True)
 
+    # fused dispatch: N concurrent B=1 streams served by predict_many —
+    # latency is per fused REQUEST (all N sessions advance one frame),
+    # so per-session throughput = N·1e3/p50 vs 1e3/p50 interleaved
+    for n in (2, 4, 8):
+        ss = [pred.open_session(batch=1, height=args.image,
+                                width=args.image) for _ in range(n)]
+        lat = []
+        for i in range(args.warm + args.meas // 2):
+            blocks = [rng.random((1, 1, args.image, args.image, 2),
+                                 dtype=np.float32) for _ in range(n)]
+            t0 = time.perf_counter()
+            pred.predict_many(ss, blocks)
+            if i >= args.warm:
+                lat.append((time.perf_counter() - t0) * 1e3)
+        for s in ss:
+            pred.close_session(s)
+        a = np.asarray(lat)
+        key = f"bf16_B1_fused{n}"
+        results[key] = {
+            "p50_ms": round(float(np.percentile(a, 50)), 3),
+            "p99_ms": round(float(np.percentile(a, 99)), 3),
+            "session_frames_per_s": round(
+                n * 1e3 / float(np.percentile(a, 50)), 1)}
+        print(json.dumps({"config": key, **results[key]}), flush=True)
+
     if args.int8:
         pred8 = StreamingPredictor(ckpt, int8=True)
         for batch in (1, 8):

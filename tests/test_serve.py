@@ -237,3 +237,94 @@ def test_session_state_dtypes_match_step_output(checkpoint):
     after = jax.tree_util.tree_map(
         lambda a: a.dtype, pred._sessions[sid].state)
     assert before == after
+
+
+def test_predict_many_matches_per_session_predicts(checkpoint):
+    """One fused dispatch for N sessions ≡ N separate predicts: outputs
+    match and each session's state advances identically (the follow-up
+    frame through `predict` agrees with the single-session trajectory)."""
+    ckpt, npz = checkpoint
+    pred = StreamingPredictor(ckpt)
+    data = np.load(npz)
+    x = np.ascontiguousarray(
+        np.moveaxis(data["X"][:4], 2, -1)).astype(np.float32)
+    xa, xb = x[:2], x[2:4]
+
+    # reference trajectories: two independent sessions, frame by frame
+    ra = pred.open_session(2, 32, 32)
+    rb = pred.open_session(2, 32, 32)
+    ya_ref = [pred.predict(ra, xa[:, t:t + 1]) for t in range(3)]
+    yb_ref = [pred.predict(rb, xb[:, t:t + 1]) for t in range(3)]
+
+    # fused: same two streams through predict_many for frames 0-1, then a
+    # plain per-session predict for frame 2 (state handoff both ways)
+    sa = pred.open_session(2, 32, 32)
+    sb = pred.open_session(2, 32, 32)
+    for t in range(2):
+        ya, yb = pred.predict_many([sa, sb],
+                                   [xa[:, t:t + 1], xb[:, t:t + 1]])
+        np.testing.assert_allclose(ya, ya_ref[t], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(yb, yb_ref[t], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pred.predict(sa, xa[:, 2:3]), ya_ref[2],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pred.predict(sb, xb[:, 2:3]), yb_ref[2],
+                               rtol=1e-4, atol=1e-4)
+    assert pred.session_info(sa)["frames_seen"] == 3
+
+    # validation surface
+    with pytest.raises(ValueError, match="duplicate"):
+        pred.predict_many([sa, sa], [xa[:, :1], xa[:, :1]])
+    with pytest.raises(KeyError):
+        pred.predict_many([sa, "nope"], [xa[:, :1], xb[:, :1]])
+    with pytest.raises(ValueError, match="differ in shape"):
+        pred.predict_many([sa, sb], [xa[:, :1], xb[:, :2]])
+    for s in (ra, rb, sa, sb):
+        pred.close_session(s)
+
+
+def test_http_predict_batch_roundtrip(checkpoint):
+    """POST /v1/predict-batch: N stacked frame blocks, one fused reply."""
+    ckpt, npz = checkpoint
+    pred = StreamingPredictor(ckpt)
+    server = serve_http(pred, "127.0.0.1", 0)
+    try:
+        host, port = server.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        sids = []
+        for _ in range(2):
+            conn.request("POST", "/v1/session",
+                         body=json.dumps({"batch": 1, "height": 32,
+                                          "width": 32}))
+            sids.append(json.loads(conn.getresponse().read())["session_id"])
+        data = np.load(npz)
+        x = np.ascontiguousarray(
+            np.moveaxis(data["X"][:2], 2, -1)).astype(np.float32)
+        blocks = np.stack([x[0:1, :1], x[1:2, :1]])  # [2,1,1,32,32,2]
+        conn.request(
+            "POST", "/v1/predict-batch",
+            body=np.ascontiguousarray(blocks, "<f4").tobytes(),
+            headers={"X-Sessions": ",".join(sids),
+                     "X-Shape": ",".join(map(str, blocks.shape))})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        out_shape = tuple(int(v) for v in r.getheader("X-Shape").split(","))
+        out = np.frombuffer(r.read(), "<f4").reshape(out_shape)
+        assert out.shape == (2, 1, 1, 32, 32, 1)
+
+        # parity vs single-session predicts on fresh sessions
+        sa = pred.open_session(1, 32, 32)
+        sb = pred.open_session(1, 32, 32)
+        np.testing.assert_allclose(out[0], pred.predict(sa, x[0:1, :1]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(out[1], pred.predict(sb, x[1:2, :1]),
+                                   rtol=1e-4, atol=1e-4)
+
+        # malformed: N mismatch -> 400
+        conn.request(
+            "POST", "/v1/predict-batch",
+            body=np.ascontiguousarray(blocks, "<f4").tobytes(),
+            headers={"X-Sessions": sids[0],
+                     "X-Shape": ",".join(map(str, blocks.shape))})
+        assert conn.getresponse().status == 400
+    finally:
+        server.shutdown()

@@ -125,6 +125,17 @@ def _make_accum_step_core(apply_fn: Callable,
                 f"into K equal microbatches")
 
         def to_micro(a):
+            # [B] batch-sharded on 'data' → [K, B/K] with each microbatch
+            # sharded on 'data'. Microbatch k = contiguous global rows
+            # [k·B/K, (k+1)·B/K) — the same composition as the
+            # single-device path (their equivalence is tested), which on a
+            # D-device mesh costs one batch-input all-to-all per step (a
+            # contiguous row range lives on a device subset). ~50 MB/step
+            # at production geometry — noise next to the step itself; a
+            # device-local composition (each device splits its own rows)
+            # would avoid the collective but change BN-microbatch
+            # semantics vs 1-device accumulation. Revisit only if a pod
+            # profile ever shows this resharding mattering.
             a = a.reshape((K, a.shape[0] // K) + a.shape[1:])
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
