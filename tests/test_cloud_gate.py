@@ -305,3 +305,71 @@ def test_cloud_gate_from_nc(tmp_path):
     assert os.path.isdir(os.path.join(work, "nc"))
     with open(os.path.join(work, "gate_dataset.json")) as f:
         assert json.load(f)["config"]["from_nc"] is True
+
+
+def test_cli_pretrain_freeze_knobs_reach_config(monkeypatch):
+    """--seed/--checkpoint-dir/--pretrained-path/--freeze-encoder (the
+    round-4 pretrain→freeze transfer flow) must reach CloudGateConfig."""
+    import unet_convlstm_tpu.cli as cli
+
+    seen = {}
+
+    def fake_run(work_dir, cfg, out_json=None, reuse_dataset=False):
+        seen.update(cfg.__dict__)
+        return {"passed": True}
+
+    monkeypatch.setattr("unet_convlstm_tpu.train.cloud_gate.run_cloud_gate",
+                        fake_run)
+    with pytest.raises(SystemExit) as e:
+        cli.main(["cloud-gate", "--work-dir", "/tmp/x", "--production",
+                  "--model-family", "resnet18", "--seed", "7",
+                  "--checkpoint-dir", "/tmp/ck",
+                  "--pretrained-path", "/tmp/enc.pth",
+                  "--freeze-encoder"])
+    assert e.value.code == 0
+    assert seen["seed"] == 7
+    assert seen["checkpoint_dir"] == "/tmp/ck"
+    assert seen["pretrained_path"] == "/tmp/enc.pth"
+    assert seen["freeze_encoder"] is True
+
+
+def test_gate_frozen_pretrained_encoder_stays_frozen(tmp_path):
+    """The full transfer mechanism at tiny geometry: a locally pretrained
+    encoder exported to .pth, loaded via the gate's pretrained_path with
+    freeze_encoder — the trained gate model must carry the EXACT frozen
+    encoder weights (bit-unchanged through training) while non-encoder
+    params move. (The production-scale result is
+    results/cloud_resnet_frozen_r4_T12.json.)"""
+    import dataclasses
+
+    import jax
+
+    from unet_convlstm_tpu.models.resnet_unet import (ResNetUNetConfig,
+                                                      resnet_unet_init)
+    from unet_convlstm_tpu.utils.torch_weights import (
+        load_torch_resnet18, save_resnet18_encoder_pth)
+
+    donor = resnet_unet_init(jax.random.PRNGKey(11),
+                             ResNetUNetConfig(lstm_layers=1,
+                                              freeze_encoder=False))
+    pth = str(tmp_path / "enc.pth")
+    save_resnet18_encoder_pth(jax.device_get(donor), pth)
+
+    ckdir = str(tmp_path / "ck")
+    cfg = dataclasses.replace(
+        CloudGateConfig(), nz=8, nxy=32, n_folders=2, n_samples=4,
+        render_res=32, out_size=32, epochs=2, batch_size=2,
+        model_family="resnet18", mae_threshold=50.0,
+        pretrained_path=pth, freeze_encoder=True, checkpoint_dir=ckdir)
+    res = run_cloud_gate(str(tmp_path / "gate"), cfg, verbose=False)
+    assert res["config"]["freeze_encoder"] is True
+
+    from unet_convlstm_tpu.train.checkpoint import restore_checkpoint
+
+    state, meta = restore_checkpoint(ckdir + "/resnet18_best")
+    assert meta["config"]["model"]["freeze_encoder"] is True
+    want = load_torch_resnet18(pth, in_channels=2)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        jax.device_get(state["params"]["encoder"]), want)

@@ -86,6 +86,7 @@ class StreamingPredictor:
         self._sessions_lock = threading.Lock()
         self._device_lock = threading.Lock()
         self._step = self._make_step()
+        self._fused_steps: Dict[int, Callable] = {}
 
     def _make_step(self) -> Callable:
         import jax
@@ -107,6 +108,39 @@ class StreamingPredictor:
             return y, new_state
 
         return step
+
+    def _fused_step(self, n: int) -> Callable:
+        """Jitted (concat N frame blocks + states → step → split states)
+        as ONE compiled program — a fused predict_many call costs a single
+        device dispatch, not 1 + O(N) eager concat/slice dispatches (the
+        first fused-bench cut measured exactly that overhead: 56 ms p50
+        for N=2 vs 35 ms single). Cached per N; batch/shape polymorphism
+        is jit's as usual."""
+        fn = self._fused_steps.get(n)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            step = self._step
+
+            @jax.jit
+            def fused(variables, x, states):
+                # x: [N·B, T, H, W, C] — concatenated HOST-side so the N
+                # frame blocks ride ONE host→device transfer (N separate
+                # jit arguments cost N transfers through the tunnel)
+                st = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.concatenate(leaves, axis=0),
+                    *states)
+                y, new_st = step(variables, x, st)
+                B = x.shape[0] // n
+                split_states = tuple(
+                    jax.tree_util.tree_map(
+                        lambda a, i=i: a[i * B:(i + 1) * B], new_st)
+                    for i in range(n))
+                return y, split_states
+
+            self._fused_steps[n] = fn = fused
+        return fn
 
     # -- session management -------------------------------------------------
 
@@ -264,17 +298,15 @@ class StreamingPredictor:
                 with self._sessions_lock:
                     if self._sessions.get(sids[i]) is not sess[i]:
                         raise KeyError(f"unknown session {sids[i]!r}")
-            x = jnp.concatenate([jnp.asarray(f) for f in frames_list],
-                                axis=0)
-            state = jax.tree_util.tree_map(
-                lambda *leaves: jnp.concatenate(leaves, axis=0),
-                *[s.state for s in sess])
+            x_all = np.concatenate([np.asarray(f, np.float32)
+                                    for f in frames_list], axis=0)
+            states = tuple(s.state for s in sess)
             with self._device_lock:
-                y, new_state = self._step(self.variables, x, state)
+                y, new_states = self._fused_step(len(sess))(
+                    self.variables, jnp.asarray(x_all), states)
                 y_host = np.asarray(y)
             for i, s in enumerate(sess):
-                s.state = jax.tree_util.tree_map(
-                    lambda a, i=i: a[i * B:(i + 1) * B], new_state)
+                s.state = new_states[i]
                 s.frames_seen += T
             return [y_host[i * B:(i + 1) * B] for i in range(len(sess))]
         finally:
