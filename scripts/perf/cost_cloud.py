@@ -115,6 +115,19 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"{tag}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
+    elif which == "accum_tail":
+        # does the resnet accum curve keep rising past K=4? (2267 ->
+        # 2338 -> 2359 measured; one more doubling finds the plateau)
+        RCFG = {"type": "resnet18", "freeze_encoder": False}
+        for tag, B, K, mc in [
+            ("resnet18 B=256 accum=8", 256, 8, RCFG),
+            ("custom B=256 accum=8", 256, 8, None),
+        ]:
+            try:
+                measure(tag, B, 12, accum_steps=K, model_cfg=mc)
+            except Exception as e:
+                print(f"{tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
     elif which == "resnet":
         # the reference DRIVER's default family (main.py:213
         # USE_PRETRAINED=True → PretrainedTemporalUNet, resnet18.py:19)
