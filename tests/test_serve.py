@@ -328,3 +328,43 @@ def test_http_predict_batch_roundtrip(checkpoint):
         assert conn.getresponse().status == 400
     finally:
         server.shutdown()
+
+
+def test_resnet_family_serving_sessions(tmp_path):
+    """The serving engine must carry the SECOND family's richer recurrent
+    state (bottleneck + 4 skip-level ConvLSTM carries) across requests:
+    streaming predicts ≡ one multi-frame call, resnet18 checkpoint."""
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+
+    npz = str(tmp_path / "mm.npz")
+    save_moving_mnist_npz(npz, seq_len=3, num_samples=8, image_size=32,
+                          num_digits=1, seed=1, as_xy=True)
+    ckdir = str(tmp_path / "ck")
+    cfg = TrainConfig(npz_path=npz, batch_size=4, epochs=1,
+                      checkpoint_dir=ckdir, mesh_data=1,
+                      model={"type": "resnet18", "lstm_layers": 1,
+                             "freeze_encoder": False})
+    fit(cfg, verbose=False)
+
+    pred = StreamingPredictor(os.path.join(ckdir, "resnet18_best"))
+    data = np.load(npz)
+    x = np.ascontiguousarray(
+        np.moveaxis(data["X"][:2], 2, -1)).astype(np.float32)
+
+    sid_a = pred.open_session(2, 32, 32)
+    y_all = pred.predict(sid_a, x)
+    assert y_all.shape == (2, 3, 32, 32, 1)
+    sid_b = pred.open_session(2, 32, 32)
+    parts = [pred.predict(sid_b, x[:, t:t + 1]) for t in range(3)]
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), y_all,
+                               rtol=1e-4, atol=1e-4)
+
+    # fused dispatch carries the multi-level state too
+    sc, sd = pred.open_session(2, 32, 32), pred.open_session(2, 32, 32)
+    for t in range(3):
+        yc, yd = pred.predict_many([sc, sd],
+                                   [x[:, t:t + 1], x[:, t:t + 1]])
+        np.testing.assert_allclose(yc, parts[t], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(yd, parts[t], rtol=1e-4, atol=1e-4)
