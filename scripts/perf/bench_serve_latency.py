@@ -152,6 +152,28 @@ def main() -> int:
                                          args.warm, args.meas, rng)
             print(json.dumps({"config": key, **results[key]}), flush=True)
 
+        # deployment-best combination: int8 engine + fused 8-stream dispatch
+        ss = [pred8.open_session(batch=1, height=args.image,
+                                 width=args.image) for _ in range(8)]
+        lat = []
+        for i in range(args.warm + args.meas // 2):
+            blocks = [rng.random((1, 1, args.image, args.image, 2),
+                                 dtype=np.float32) for _ in range(8)]
+            t0 = time.perf_counter()
+            pred8.predict_many(ss, blocks)
+            if i >= args.warm:
+                lat.append((time.perf_counter() - t0) * 1e3)
+        for s in ss:
+            pred8.close_session(s)
+        a = np.asarray(lat)
+        results["int8_B1_fused8"] = {
+            "p50_ms": round(float(np.percentile(a, 50)), 3),
+            "p99_ms": round(float(np.percentile(a, 99)), 3),
+            "session_frames_per_s": round(
+                8 * 1e3 / float(np.percentile(a, 50)), 1)}
+        print(json.dumps({"config": "int8_B1_fused8",
+                          **results["int8_B1_fused8"]}), flush=True)
+
     out = os.path.join(tmp, "serve_latency.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
