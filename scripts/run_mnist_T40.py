@@ -17,7 +17,6 @@ Usage: python scripts/run_mnist_T40.py [--samples N] [--epochs E]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -45,7 +44,8 @@ def main() -> int:
     from unet_convlstm_tpu.eval.image_metrics import psnr, ssim
     from unet_convlstm_tpu.eval.rollout import rollout_scan
     from unet_convlstm_tpu.models.registry import build_model
-    from unet_convlstm_tpu.ops.normalize import normalize_y
+    from unet_convlstm_tpu.ops.normalize import (normalize_x,
+                                                  normalize_y)
     from unet_convlstm_tpu.train.config import TrainConfig
     from unet_convlstm_tpu.train.loop import fit
 
@@ -76,8 +76,6 @@ def main() -> int:
     idx = np.asarray(val_idx[:16])
     x_raw, y_raw = ds.get_batch_raw(idx)
     _, _, apply_fn, init_state = build_model(model_cfg)
-    from unet_convlstm_tpu.ops.normalize import normalize_x
-
     x = normalize_x(np.asarray(x_raw), ds.stats)
     y = normalize_y(np.asarray(y_raw), ds.stats)
     state = res["state"]

@@ -249,7 +249,6 @@ class StreamingPredictor:
         compute — docs/SERVING.md). Compiles one extra signature per
         distinct N.
         """
-        import jax
         import jax.numpy as jnp
 
         if not sids:
