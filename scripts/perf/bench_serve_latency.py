@@ -119,29 +119,32 @@ def main() -> int:
     print(json.dumps({"config": "bf16_B1_interleaved2",
                       **results["bf16_B1_interleaved2"]}), flush=True)
 
-    # fused dispatch: N concurrent B=1 streams served by predict_many —
-    # latency is per fused REQUEST (all N sessions advance one frame),
-    # so per-session throughput = N·1e3/p50 vs 1e3/p50 interleaved
-    for n in (2, 4, 8):
-        ss = [pred.open_session(batch=1, height=args.image,
-                                width=args.image) for _ in range(n)]
+    def bench_fused(p, n):
+        """One fused predict_many request advances ALL n sessions one
+        frame; latency is per fused REQUEST, so the throughput recorded
+        is AGGREGATE across the n streams (each stream individually sees
+        1e3/p50 frames/s)."""
+        ss = [p.open_session(batch=1, height=args.image,
+                             width=args.image) for _ in range(n)]
         lat = []
         for i in range(args.warm + args.meas // 2):
             blocks = [rng.random((1, 1, args.image, args.image, 2),
                                  dtype=np.float32) for _ in range(n)]
             t0 = time.perf_counter()
-            pred.predict_many(ss, blocks)
+            p.predict_many(ss, blocks)
             if i >= args.warm:
                 lat.append((time.perf_counter() - t0) * 1e3)
         for s in ss:
-            pred.close_session(s)
+            p.close_session(s)
         a = np.asarray(lat)
+        return {"p50_ms": round(float(np.percentile(a, 50)), 3),
+                "p99_ms": round(float(np.percentile(a, 99)), 3),
+                "aggregate_frames_per_s": round(
+                    n * 1e3 / float(np.percentile(a, 50)), 1)}
+
+    for n in (2, 4, 8):
         key = f"bf16_B1_fused{n}"
-        results[key] = {
-            "p50_ms": round(float(np.percentile(a, 50)), 3),
-            "p99_ms": round(float(np.percentile(a, 99)), 3),
-            "session_frames_per_s": round(
-                n * 1e3 / float(np.percentile(a, 50)), 1)}
+        results[key] = bench_fused(pred, n)
         print(json.dumps({"config": key, **results[key]}), flush=True)
 
     if args.int8:
@@ -152,25 +155,9 @@ def main() -> int:
                                          args.warm, args.meas, rng)
             print(json.dumps({"config": key, **results[key]}), flush=True)
 
-        # deployment-best combination: int8 engine + fused 8-stream dispatch
-        ss = [pred8.open_session(batch=1, height=args.image,
-                                 width=args.image) for _ in range(8)]
-        lat = []
-        for i in range(args.warm + args.meas // 2):
-            blocks = [rng.random((1, 1, args.image, args.image, 2),
-                                 dtype=np.float32) for _ in range(8)]
-            t0 = time.perf_counter()
-            pred8.predict_many(ss, blocks)
-            if i >= args.warm:
-                lat.append((time.perf_counter() - t0) * 1e3)
-        for s in ss:
-            pred8.close_session(s)
-        a = np.asarray(lat)
-        results["int8_B1_fused8"] = {
-            "p50_ms": round(float(np.percentile(a, 50)), 3),
-            "p99_ms": round(float(np.percentile(a, 99)), 3),
-            "session_frames_per_s": round(
-                8 * 1e3 / float(np.percentile(a, 50)), 1)}
+        # int8 engine + fused 8-stream dispatch (measured SLOWER than
+        # bf16 fused at single-frame dispatches — docs/PERF.md round 4b)
+        results["int8_B1_fused8"] = bench_fused(pred8, 8)
         print(json.dumps({"config": "int8_B1_fused8",
                           **results["int8_B1_fused8"]}), flush=True)
 

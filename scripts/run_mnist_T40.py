@@ -30,9 +30,14 @@ def main() -> int:
     ap.add_argument("--samples", type=int, default=1000)
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--npz", default="/tmp/mnist_T40.npz")
+    ap.add_argument("--npz", default="",
+                    help="dataset path (default embeds --samples so a "
+                         "rerun with different N cannot silently reuse a "
+                         "stale corpus)")
     ap.add_argument("--out", default="results/mnist_golden_T40.json")
     args = ap.parse_args()
+    if not args.npz:
+        args.npz = f"/tmp/mnist_T40_n{args.samples}.npz"
 
     from unet_convlstm_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -97,6 +102,9 @@ def main() -> int:
         "final_val_mae": float(hist[-1]["val_mae"]),
         "rollout_psnr_db": p,
         "rollout_ssim": s,
+        # rollout runs on the FINAL-epoch weights (no checkpoint_dir);
+        # pair it with final_val_mae, not the best-epoch val_mae
+        "rollout_state": "final_epoch",
         "best_val_loss": res["best_val_loss"],
         "wall_s": time.time() - t0,
         "history": hist,

@@ -404,3 +404,52 @@ def test_encoder_export_roundtrips_through_pretrained_path(tmp_path, rng):
         np.asarray(v2["params"]["encoder"]["conv1"]["w"], np.float32),
         np.asarray(variables["params"]["encoder"]["conv1"]["w"],
                    np.float32))
+
+
+def test_checkpoint_restore_survives_deleted_pretrained_pth(tmp_path, rng):
+    """A trained checkpoint must not depend on the external .pth it was
+    initialized from (round-4 review finding): the embedded config drops
+    pretrained_path and records pretrained_resolved, so serve/evaluate/
+    resume restore cleanly after the file is gone AND keep the encoder
+    frozen instead of warning-falling-back to unfrozen."""
+    import warnings as _w
+
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.train.checkpoint import restore_checkpoint
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+    from unet_convlstm_tpu.utils.torch_weights import (
+        save_resnet18_encoder_pth)
+
+    donor = resnet_unet_init(jax.random.PRNGKey(4),
+                             ResNetUNetConfig(lstm_layers=1,
+                                              freeze_encoder=False))
+    pth = str(tmp_path / "enc.pth")
+    save_resnet18_encoder_pth(jax.device_get(donor), pth)
+
+    npz = str(tmp_path / "mm.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=6, image_size=32,
+                          num_digits=1, seed=2, as_xy=True)
+    ckdir = str(tmp_path / "ck")
+    cfg = TrainConfig(npz_path=npz, batch_size=2, epochs=1,
+                      checkpoint_dir=ckdir, mesh_data=1,
+                      model={"type": "resnet18", "lstm_layers": 1,
+                             "pretrained_path": pth,
+                             "freeze_encoder": True})
+    fit(cfg, verbose=False)
+
+    os.remove(pth)
+    state, meta = restore_checkpoint(os.path.join(ckdir, "resnet18_best"))
+    model_cfg = meta["config"]["model"]
+    assert "pretrained_path" not in model_cfg
+    assert model_cfg["pretrained_resolved"] is True
+    assert model_cfg["freeze_encoder"] is True
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # the unfreeze fallback must NOT fire
+        rcfg, _, apply_fn, _ = build_model(dict(model_cfg))
+    assert rcfg.freeze_encoder is True
+    x = rng.random((1, 2, 32, 32, 2), dtype=np.float64).astype(np.float32)
+    y, _, _ = apply_fn({"params": state["params"],
+                        "stats": state["stats"]}, jnp.asarray(x))
+    assert np.isfinite(np.asarray(y, np.float32)).all()

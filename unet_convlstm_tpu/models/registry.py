@@ -63,11 +63,21 @@ def _build_resnet18(cfg_dict: Dict[str, Any]):
     # exist anywhere, freeze_encoder is forced off with a warning — random
     # features must never be silently frozen.
     pretrained = None
-    path = cfg_dict.get("pretrained_path") or find_resnet18_weights()
+    if cfg_dict.get("pretrained_resolved"):
+        # Config restored from a trained checkpoint (train/loop.py
+        # _checkpoint_config): the saved weights already embody the
+        # pretrained init, so do NOT re-load an external .pth (it may no
+        # longer exist) and honor freeze_encoder as saved — the
+        # never-freeze-random policy below is about FRESH inits.
+        path = None
+    else:
+        path = cfg_dict.get("pretrained_path") or find_resnet18_weights()
     if path:
         pretrained = load_torch_resnet18(path, cfg_dict.get("in_channels", 2))
     freeze = cfg_dict.get("freeze_encoder", True)
-    if freeze and pretrained is None:
+    if cfg_dict.get("pretrained_resolved"):
+        pass  # freeze decision was resolved at training time
+    elif freeze and pretrained is None:
         warnings.warn(
             "resnet18 model: freeze_encoder=True but no ImageNet weights "
             "were given (pretrained_path) or found in the torch hub cache "

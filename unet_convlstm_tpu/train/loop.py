@@ -96,6 +96,27 @@ def _append_history_csv(ckpt_dir: str, row: Dict[str, Any],
         writer.writerow(row)
 
 
+def _checkpoint_config(cfg) -> Dict[str, Any]:
+    """The config dict embedded in checkpoints.
+
+    For the resnet18 family the saved weights already EMBODY whatever
+    pretrained init was used, so the embedded model config (a) drops
+    ``pretrained_path`` — otherwise every later restore (serve/evaluate/
+    resume) would re-load an external .pth that may no longer exist, for
+    weights the restore immediately overwrites — and (b) records
+    ``pretrained_resolved: true`` so the registry honors
+    ``freeze_encoder`` as saved instead of re-searching for weights and
+    falling back to unfrozen (the never-freeze-random policy is about
+    fresh inits; a trained checkpoint's encoder is not random)."""
+    d = cfg.to_dict()
+    model = dict(d.get("model") or {})
+    if model.get("type") == "resnet18":
+        model.pop("pretrained_path", None)
+        model["pretrained_resolved"] = True
+        d["model"] = model
+    return d
+
+
 def _trainable_mask(params: Dict[str, Any], model_cfg: Dict[str, Any]):
     """Frozen-encoder filter (reference main.py:257-261 trains only
     requires_grad params; resnet18.py:41-44 freezes the encoder).
@@ -325,7 +346,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                             save_checkpoint(
                                 cfg.checkpoint_dir, f"{model_name}_last",
                                 snapshot[0],
-                                {"config": cfg.to_dict(), "val_loss": best_val,
+                                {"config": _checkpoint_config(cfg), "val_loss": best_val,
                                  "epoch": snapshot[2],
                                  "norm_stats": dataset.stats.to_dict(),
                                  "scheduler": sched_meta,
@@ -391,7 +412,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
             if val_loss < best_val:
                 best_val = val_loss
                 if cfg.checkpoint_dir:
-                    meta = {"config": cfg.to_dict(), "val_loss": best_val,
+                    meta = {"config": _checkpoint_config(cfg), "val_loss": best_val,
                             "epoch": epoch,
                             "norm_stats": dataset.stats.to_dict(),
                             "scheduler": scheduler.state_dict()}
@@ -418,7 +439,7 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
         # resume whose start exceeds cfg.epochs runs zero epochs, and
         # overwriting the newer checkpoint with a smaller epoch number
         # would silently replay finished epochs on the next resume
-        meta = {"config": cfg.to_dict(), "val_loss": best_val,
+        meta = {"config": _checkpoint_config(cfg), "val_loss": best_val,
                 "epoch": last_completed,
                 "norm_stats": dataset.stats.to_dict(),
                 "scheduler": scheduler.state_dict()}

@@ -32,6 +32,18 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         return None
     path = (cache_dir or os.environ.get("UCT_COMPILE_CACHE_DIR")
             or DEFAULT_DIR)
+    import sys
+
+    if "jax" not in sys.modules:
+        # jax not imported yet (host-only subcommands like gen-mnist never
+        # import it — don't pay a multi-second import just to configure a
+        # cache): set the env-var defaults jax reads at import time.
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+        return path
     import jax
 
     jax.config.update("jax_compilation_cache_dir", path)
