@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from unet_convlstm_tpu.models.registry import build_model
-from unet_convlstm_tpu.ops.quant import quantize_tree
+from unet_convlstm_tpu.ops.quant import calibrate_tree, quantize_tree
 
 B, T, HW = 8, 12, 128
 STEPS = 20
@@ -63,8 +63,22 @@ def run_family(name):
     _, init_fn, apply_fn, _ = build_model(dict(cfg))
     variables = init_fn(jax.random.PRNGKey(0))
     f_bf16 = measure(apply_fn, variables, f"{name} bf16")
-    f_int8 = measure(apply_fn, quantize_tree(variables), f"{name} int8")
-    print(f"{name}: int8 / bf16 = {f_int8 / f_bf16:.2f}x", flush=True)
+    qvars = quantize_tree(variables)
+    f_int8 = measure(apply_fn, qvars, f"{name} int8")
+    # calibrated static activation scales (VERDICT r4 #2): the dynamic
+    # amax passes disappear; conv inputs hit HBM at int8 width.
+    # Calibration runs on the CPU backend (axon lacks io_callback), so
+    # use a reduced geometry — per-site amax depends on the input
+    # DISTRIBUTION (same uniform[0,1] raw range), not the spatial size
+    t_c = time.time()
+    rng = np.random.default_rng(1)
+    calib = [rng.uniform(0, 1, (2, 4, 64, 64, 2)).astype(np.float32)
+             for _ in range(2)]
+    qcal = calibrate_tree(apply_fn, qvars, calib)
+    print(f"{name}: calibrated in {time.time() - t_c:.1f}s", flush=True)
+    f_cal = measure(apply_fn, qcal, f"{name} int8-calib")
+    print(f"{name}: int8 / bf16 = {f_int8 / f_bf16:.2f}x   "
+          f"int8-calib / bf16 = {f_cal / f_bf16:.2f}x", flush=True)
 
 
 def main():

@@ -127,7 +127,9 @@ def main() -> int:
         ss = [p.open_session(batch=1, height=args.image,
                              width=args.image) for _ in range(n)]
         lat = []
-        for i in range(args.warm + args.meas // 2):
+        # full args.meas samples — the fused percentiles must rest on the
+        # same sample count as every other config in this file (ADVICE r4)
+        for i in range(args.warm + args.meas):
             blocks = [rng.random((1, 1, args.image, args.image, 2),
                                  dtype=np.float32) for _ in range(n)]
             t0 = time.perf_counter()

@@ -42,6 +42,21 @@ assert delta < bound, (
     f"int8 evaluate MAE {mae_i8} strays beyond PTQ noise of bf16 "
     f"{mae_bf16} (|delta| {delta} >= {bound})")
 
+# 1b. evaluate --int8 --int8-calib: static activation scales (round 5,
+# VERDICT r4 #2) — same accuracy bound as dynamic quant, asserted on the
+# live chip (the perf side is scripts/perf/bench_int8.py's int8-calib row)
+print("== evaluate --int8 --int8-calib 4 ==", flush=True)
+main(["evaluate", "--checkpoint", ckpt, "--npz", npz,
+      "--out-dir", "/tmp/int8c_eval", "--batch-size", "16", "--int8",
+      "--int8-calib", "4"])
+mae_i8c = json.load(open("/tmp/int8c_eval/report.json"))["mae"]
+delta_c = abs(mae_i8c - mae_bf16)
+print(f"MAE bf16={mae_bf16:.4f} int8-calib={mae_i8c:.4f} "
+      f"|delta|={delta_c:.4f} (bound {bound:.4f})", flush=True)
+assert delta_c < bound, (
+    f"calibrated int8 evaluate MAE {mae_i8c} strays beyond PTQ noise of "
+    f"bf16 {mae_bf16} (|delta| {delta_c} >= {bound})")
+
 # 2. serve --int8: real HTTP server + streamed frames
 from unet_convlstm_tpu.serve import StreamingPredictor, serve_http  # noqa
 

@@ -35,6 +35,11 @@ def main() -> int:
                          "rerun with different N cannot silently reuse a "
                          "stale corpus)")
     ap.add_argument("--out", default="results/mnist_golden_T40.json")
+    ap.add_argument("--mmap", action="store_true",
+                    help="write the corpus UNCOMPRESSED and train through "
+                        "the mmap sidecar path (data/npz_dataset.py) — the "
+                        "larger-than-RAM input machinery, exercised at the "
+                        "generator's real N=10000 size (VERDICT r4 #4)")
     args = ap.parse_args()
     if not args.npz:
         args.npz = f"/tmp/mnist_T40_n{args.samples}.npz"
@@ -61,15 +66,22 @@ def main() -> int:
                                      image_size=64, num_digits=2,
                                      digits=synthetic_digit_bank(), seed=0)
         X, Y = moving_mnist_to_xy(data)
-        np.savez_compressed(args.npz, X=X, Y=Y)
+        del data
+        if args.mmap:
+            # uncompressed: ~10 GB at N=10000 — zlib would add minutes
+            # for bytes the mmap sidecars duplicate anyway
+            np.savez(args.npz, X=X, Y=Y)
+        else:
+            np.savez_compressed(args.npz, X=X, Y=Y)
         print(f"wrote {args.npz} X{X.shape} Y{Y.shape}", flush=True)
+        del X, Y
 
     model_cfg = {"type": "custom", "base_ch": 32, "use_skip_lstm": True,
                  "use_attention": False, "lstm_layers": 1}
     cfg = TrainConfig(npz_path=args.npz, batch_size=args.batch_size,
                       epochs=args.epochs, checkpoint_dir="", mesh_data=1,
                       model=model_cfg)
-    ds = NPZSequenceDataset(args.npz)
+    ds = NPZSequenceDataset(args.npz, mmap=args.mmap)
     res = fit(cfg, dataset=ds)
     hist = [h for h in res["history"] if "val_mae" in h]
     best = min(hist, key=lambda h: float(h["val_mae"]))
@@ -96,6 +108,7 @@ def main() -> int:
                     f"(N subsampled to {args.samples} for wall clock)",
         "epochs": args.epochs,
         "samples": args.samples,
+        "mmap": bool(args.mmap),
         "val_mae": float(best["val_mae"]),
         "val_rmse": float(best["val_rmse"]),
         "best_epoch": int(best["epoch"]),

@@ -56,10 +56,12 @@ def _fresh_state(variables, tx):
 def test_accum_step_matches_manual_grad_average(dataset, tiny_model):
     """accum_steps=2 must equal the hand-rolled definition: two microbatch
     gradients at the SAME params (BN running stats threaded sequentially),
-    averaged, then ONE optimizer update. f32 + SGD so the match is exact-ish
-    rather than bf16-loose (rtol 1e-4 like the DP/TP equivalence tests:
-    the scanned body schedules f32 reductions differently from the
-    unscanned reference)."""
+    averaged, then ONE optimizer update. Microbatch k = STRIDED rows
+    {k, k+K, …} — the sharding-stable grouping ``to_micro`` documents
+    (device-count-independent, so this manual reference is exact on any
+    mesh too). f32 + SGD so the match is exact-ish rather than bf16-loose
+    (rtol 1e-4 like the DP/TP equivalence tests: the scanned body
+    schedules f32 reductions differently from the unscanned reference)."""
     variables, apply32 = tiny_model
     tx = optax.sgd(1e-2)
     x_raw, y_raw = dataset.get_batch_raw(np.arange(4))
@@ -80,7 +82,7 @@ def test_accum_step_matches_manual_grad_average(dataset, tiny_model):
     ref = _fresh_state(variables, tx)
     bn = ref["stats"]
     gsum, losses = None, []
-    for mb in (slice(0, 2), slice(2, 4)):
+    for mb in (slice(0, None, 2), slice(1, None, 2)):
         x = normalize_x(jnp.asarray(x_raw[mb]), stats)
         y = normalize_y(jnp.asarray(y_raw[mb]), stats)
         mask = compute_mask(jnp.asarray(x_raw[mb]), stats)
@@ -109,9 +111,11 @@ def test_accum_step_matches_manual_grad_average(dataset, tiny_model):
 
 
 def test_accum_step_dp_matches_single_device(dataset, tiny_model):
-    """The accumulation scan composes with DP batch sharding: each
-    microbatch is resharded onto the 'data' axis and the gradient psum
-    fires per microbatch. 2-device mesh ≡ single device."""
+    """The accumulation scan composes with DP batch sharding: the strided
+    microbatch split keeps the 'data'-sharded batch axis intact (no
+    resharding) and the gradient psum fires per microbatch. 2-device
+    mesh ≡ single device — exact, because the strided grouping is
+    device-count-independent (same microbatch contents and order)."""
     variables, apply32 = tiny_model
     tx = optax.sgd(1e-2)
     x_raw, y_raw = dataset.get_batch_raw(np.arange(4))
@@ -229,6 +233,46 @@ def test_multi_step_composes_with_accum(dataset, tiny_model):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-4, atol=1e-5),
         jax.device_get(s1["params"]), jax.device_get(s2["params"]))
+
+
+def test_accum_dp_mesh_no_involuntary_replication(dataset, tiny_model,
+                                                  capfd):
+    """VERDICT r4 #1 'done' criterion: compiling the accumulation step on
+    the full 8-device mesh must produce (a) no SPMD 'Involuntary full
+    rematerialization' warning — the partitioner fallback that all-gathers
+    the whole input batch every step, recorded in MULTICHIP_r04.json for
+    the old contiguous microbatch split — and (b) an optimized HLO with no
+    all-gather of the batch: in pure-DP accumulation the only collectives
+    are the gradient/metric all-reduces.
+
+    Two fixes compose to get there: the strided microbatch split
+    (steps.py to_micro) and the batch-major sequence flatten
+    (models/layout.py, flat_layout="batch" — what fit() auto-selects on
+    a data mesh; the time-major flatten interleaves the sharded batch
+    axis at the [T,B]→[T·B] merge and forces XLA to gather)."""
+    variables, apply32 = tiny_model
+    apply_b = functools.partial(apply32, flat_layout="batch")
+    tx = optax.sgd(1e-2)
+    # B=16 over D=8 devices with K=2 → microbatch rows-per-device m=1,
+    # the driver's dryrun geometry.
+    x_raw, y_raw = dataset.get_batch_raw(np.arange(16) % 8)
+    mesh = make_mesh(data=8)
+    state = jax.device_put(_fresh_state(variables, tx),
+                           replicated_sharding(mesh))
+    x = jax.device_put(np.asarray(x_raw), batch_sharding(mesh))
+    y = jax.device_put(np.asarray(y_raw), batch_sharding(mesh))
+    step = make_train_step(apply_b, tx, dataset.stats, use_mask=False,
+                           mesh=mesh, accum_steps=2, donate=False)
+    capfd.readouterr()  # drain anything prior
+    compiled = step.lower(state, x, y).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
+    hlo = compiled.as_text()
+    assert "all-gather" not in hlo, (
+        "optimized HLO contains an all-gather — the batch (or state) is "
+        "being replicated somewhere in the accumulation step")
+    _, loss, _ = compiled(state, x, y)
+    assert np.isfinite(float(loss))
 
 
 def test_accum_indivisible_batch_raises_clearly(dataset, tiny_model):

@@ -88,6 +88,26 @@ def test_evaluate_int8_cli(trained, npz_path, workdir):
     assert abs(q["mae"] - ref["mae"]) < 0.1 * max(ref["mae"], 0.1)
 
 
+def test_evaluate_int8_calibrated_cli(trained, npz_path, workdir):
+    """--int8 --int8-calib N: static activation scales calibrated on N
+    train batches (VERDICT r4 #2). Same accuracy contract as dynamic
+    int8 — calibration only changes WHERE the scale comes from, and the
+    val split is in-distribution with the calibration data."""
+    ref_dir = str(workdir / "eval_f2")
+    c_dir = str(workdir / "eval_qc")
+    ckpt = os.path.join(trained, "custom_best")
+    main(["evaluate", "--checkpoint", ckpt, "--npz", npz_path,
+          "--out-dir", ref_dir, "--batch-size", "4"])
+    main(["evaluate", "--checkpoint", ckpt, "--npz", npz_path,
+          "--out-dir", c_dir, "--batch-size", "4", "--int8",
+          "--int8-calib", "2"])
+    with open(os.path.join(ref_dir, "report.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(c_dir, "report.json")) as f:
+        q = json.load(f)
+    assert abs(q["mae"] - ref["mae"]) < 0.1 * max(ref["mae"], 0.1)
+
+
 def test_convert_checkpoint_to_torch_cli(trained, workdir):
     """Reverse migration: export a trained checkpoint to the reference's
     .pt format; the file must load as {model_state, config} and round-trip

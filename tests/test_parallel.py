@@ -345,3 +345,152 @@ def test_zero1_composes_with_tp():
                   jax.tree_util.tree_leaves(shard["params"])]
     assert not any("data" in a for a in param_axes), \
         "ZeRO must not shard params"
+
+
+def test_flat_layouts_agree(rng):
+    """models/layout.py contract: "time" and "batch" flatten layouts
+    compute the same function (BN batch stats reduce over all T·B frames
+    either way), for both model families, train and eval mode."""
+    x = jnp.asarray(rng.standard_normal((3, 2, 32, 32, 2),
+                                        dtype=np.float32))
+    for cfg_dict in ({"type": "custom", "base_ch": 4, "use_skip_lstm": True,
+                      "lstm_layers": 1},
+                     {"type": "resnet18", "lstm_layers": 1,
+                      "freeze_encoder": False}):
+        _, init_fn, apply_fn, _ = build_model(dict(cfg_dict))
+        variables = init_fn(jax.random.PRNGKey(0))
+        for train in (False, True):
+            y_t, _, bn_t = apply_fn(variables, x, train=train,
+                                    policy=FP32_POLICY, flat_layout="time")
+            y_b, _, bn_b = apply_fn(variables, x, train=train,
+                                    policy=FP32_POLICY, flat_layout="batch")
+            # eval mode is per-row-deterministic (running BN stats, no
+            # batch reduction) → near-exact; train mode reduces BN batch
+            # statistics in a different order → f32 reassociation noise,
+            # amplified through the normalize/divide chain (measured
+            # ~1e-5..1e-4 abs on this geometry). A layout BUG (row
+            # permutation mismatch) would show as O(1) errors.
+            tol = dict(rtol=1e-4, atol=2e-4) if train else \
+                dict(rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_b),
+                                       **tol)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+                jax.device_get(bn_t), jax.device_get(bn_b))
+
+
+def test_dp_train_step_batch_layout_no_all_gather(rng):
+    """A pure-DP train step with flat_layout="batch" (fit()'s auto pick on
+    a data mesh) must compile to an HLO with NO all-gather: the time-major
+    flatten used to force XLA to gather the full input (fwd) and
+    output-grad (bwd) every step — full-batch replication traffic that
+    MULTICHIP_r04.json's warnings only exposed on the accum leg."""
+    import functools
+    import optax
+    from unet_convlstm_tpu.train import make_train_step
+    from unet_convlstm_tpu.ops.normalize import NormStats
+
+    cfg_dict = {"type": "custom", "base_ch": 4, "use_skip_lstm": True,
+                "lstm_layers": 1}
+    _, init_fn, apply_fn, _ = build_model(cfg_dict)
+    variables = init_fn(jax.random.PRNGKey(0))
+    apply_b = functools.partial(apply_fn, policy=FP32_POLICY,
+                                flat_layout="batch")
+    mesh = make_mesh(data=8)
+    tx = optax.sgd(1e-2)
+    stats = NormStats(norm_const=1.0, min_vel=-5.0, max_vel=5.0,
+                      y_scale=1.0, trans_min=-1.0, trans_max=1.0)
+    state = {"params": variables["params"], "stats": variables["stats"],
+             "opt_state": tx.init(variables["params"])}
+    state = jax.device_put(state, replicated_sharding(mesh))
+    x = jax.device_put(
+        rng.standard_normal((16, 2, 32, 32, 2)).astype(np.float32),
+        batch_sharding(mesh))
+    y = jax.device_put(
+        rng.standard_normal((16, 2, 32, 32, 1)).astype(np.float32),
+        batch_sharding(mesh))
+    step = make_train_step(apply_b, tx, stats, use_mask=False, mesh=mesh,
+                           donate=False)
+    hlo = step.lower(state, x, y).compile().as_text()
+    assert "all-gather" not in hlo, (
+        "DP step with batch-major flatten should shard every reshape "
+        "locally — found an all-gather in the optimized HLO")
+
+
+def test_mesh_parallel_offline_eval_matches_single_device(tmp_path):
+    """VERDICT r4 #3: evaluate_model(mesh=...) — batch sharded on 'data',
+    reductions psummed, per-row scatter sampling device-local — must
+    produce the same EvalReport as the single-device pass (same seed →
+    same sample indices)."""
+    import functools
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.eval.metrics import evaluate_model
+
+    npz = str(tmp_path / "mm.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=16, image_size=32,
+                          num_digits=1, seed=5, as_xy=True)
+    ds = NPZSequenceDataset(npz)
+    cfg_dict = {"type": "custom", "base_ch": 4, "use_skip_lstm": False,
+                "lstm_layers": 1}
+    _, init_fn, apply_fn, _ = build_model(cfg_dict)
+    variables = init_fn(jax.random.PRNGKey(0))
+    apply32 = functools.partial(apply_fn, policy=FP32_POLICY,
+                                flat_layout="batch")
+    idx = np.arange(len(ds))
+
+    mesh = make_mesh(data=8)
+    rep_m = evaluate_model(apply32, variables, ds, indices=idx,
+                           batch_size=8, use_mask=False, mesh=mesh)
+    rep_1 = evaluate_model(apply32, variables, ds, indices=idx,
+                           batch_size=8, use_mask=False)
+    assert rep_m.n_pixels == rep_1.n_pixels
+    np.testing.assert_allclose(rep_m.mae, rep_1.mae, rtol=1e-5)
+    np.testing.assert_allclose(rep_m.rmse, rep_1.rmse, rtol=1e-5)
+    np.testing.assert_allclose(rep_m.bias, rep_1.bias, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(rep_m.mae_over_time, rep_1.mae_over_time,
+                               rtol=1e-5)
+    np.testing.assert_allclose(rep_m.gt_hist, rep_1.gt_hist)
+    np.testing.assert_allclose(rep_m.pred_hist, rep_1.pred_hist)
+    np.testing.assert_allclose(rep_m.err_hist, rep_1.err_hist)
+    # same per-row sample indices → same scatter pool
+    np.testing.assert_allclose(np.sort(rep_m.scatter_gt),
+                               np.sort(rep_1.scatter_gt), rtol=1e-6)
+    # eval batch must divide the mesh
+    with pytest.raises(ValueError, match="not divisible"):
+        evaluate_model(apply32, variables, ds, indices=idx,
+                       batch_size=6, use_mask=False, mesh=mesh)
+
+
+def test_mesh_parallel_rollout_matches_single_device(rng):
+    """rollout_scan(mesh=...): batch of sequences + recurrent carries
+    sharded on 'data' — identical outputs to the single-device scan."""
+    import functools
+    from unet_convlstm_tpu.eval.rollout import rollout_scan
+
+    cfg_dict = {"type": "custom", "base_ch": 4, "use_skip_lstm": True,
+                "lstm_layers": 1}
+    _, init_fn, apply_fn, init_state_fn = build_model(cfg_dict)
+    variables = init_fn(jax.random.PRNGKey(0))
+    apply32 = functools.partial(apply_fn, policy=FP32_POLICY,
+                                flat_layout="batch")
+    x = np.asarray(rng.standard_normal((8, 3, 32, 32, 2)), np.float32)
+
+    mesh = make_mesh(data=8)
+    y_m, st_m = rollout_scan(apply32, variables, jnp.asarray(x),
+                             init_state_fn, mesh=mesh)
+    y_1, st_1 = rollout_scan(apply32, variables, jnp.asarray(x),
+                             init_state_fn)
+    np.testing.assert_allclose(np.asarray(y_m, np.float32),
+                               np.asarray(y_1, np.float32),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-5), jax.device_get(st_m),
+        jax.device_get(st_1))
+    with pytest.raises(ValueError, match="not divisible"):
+        rollout_scan(apply32, variables, jnp.asarray(x[:6]), init_state_fn,
+                     mesh=mesh)

@@ -291,3 +291,96 @@ def test_chunked_mc_sum_balances_compile_shapes():
     calls.clear()
     chunked_mc_sum(run, 8, 0)
     assert [n for _, n in calls] == [8]
+
+
+def test_calibrated_static_activation_scales():
+    """VERDICT r4 #2 — the calibrated static-activation path: (a)
+    calibration records a range for every conv site that executes,
+    INCLUDING the scan-resident ConvLSTM cell conv (io_callback through
+    lax.scan); (b) the calibrated forward tracks the float forward as
+    closely as dynamic quant on in-distribution data; (c) a conv with a
+    static scale compiles with NO reduction (the dynamic amax pass —
+    the activation-byte cost this path removes — is gone)."""
+    import functools
+
+    from unet_convlstm_tpu.core.dtypes import FP32_POLICY
+    from unet_convlstm_tpu.models.registry import build_model
+    from unet_convlstm_tpu.ops.quant import (
+        SiteTag, act_calibration, attach_act_scales, calibrate_tree,
+        conv2d_int8, quantize_conv_params, quantize_tree)
+
+    cfg = {"type": "custom", "base_ch": 8, "use_skip_lstm": True,
+           "lstm_layers": 1}
+    _, init_fn, apply_fn, _ = build_model(cfg)
+    variables = init_fn(jax.random.PRNGKey(0))
+    apply32 = functools.partial(apply_fn, policy=FP32_POLICY)
+    rng = np.random.default_rng(0)
+    batches = [rng.uniform(0, 1, (2, 3, 32, 32, 2)).astype(np.float32)
+               for _ in range(3)]
+
+    qvars = quantize_tree(variables)
+    qcal = calibrate_tree(apply32, qvars, batches)
+
+    # every site executed → every quantized leaf got a static scale
+    n_sites = n_static = 0
+
+    def count(node):
+        nonlocal n_sites, n_static
+        if isinstance(node, dict):
+            if isinstance(node.get("site"), SiteTag):
+                n_sites += 1
+                n_static += int("x_s" in node)
+            else:
+                for v in node.values():
+                    count(v)
+
+    count(qcal["params"])
+    assert n_sites > 10
+    assert n_static == n_sites, (n_static, n_sites)
+
+    x = jnp.asarray(batches[0])
+    y_f, _, _ = apply32(variables, x, train=False)
+    y_dyn, _, _ = apply32(qvars, x, train=False)
+    y_cal, _, _ = apply32(qcal, x, train=False)
+
+    def rel_l2(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9))
+
+    e_dyn, e_cal = rel_l2(y_dyn, y_f), rel_l2(y_cal, y_f)
+    assert e_cal < max(2.0 * e_dyn, 0.10), (e_cal, e_dyn)
+
+    # (c) single conv: static scale → reduce-free HLO; dynamic → has one
+    p = quantize_conv_params(
+        {"w": np.asarray(rng.standard_normal((3, 3, 4, 8)), np.float32)})
+    xs = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    hlo_dyn = jax.jit(lambda x: conv2d_int8(p, x)).lower(xs).compile()
+    p_cal = dict(p, x_s=jnp.float32(0.05))
+    hlo_cal = jax.jit(lambda x: conv2d_int8(p_cal, x)).lower(xs).compile()
+    assert " reduce(" in hlo_dyn.as_text()
+    assert " reduce(" not in hlo_cal.as_text()
+
+    # unexecuted sites stay dynamic
+    with act_calibration() as ranges:
+        pass
+    qnone = attach_act_scales(qvars, ranges)
+    leaves_with_xs = []
+
+    def scan_xs(node):
+        if isinstance(node, dict):
+            if "x_s" in node:
+                leaves_with_xs.append(node)
+            for v in node.values():
+                scan_xs(v)
+
+    scan_xs(qnone["params"])
+    assert leaves_with_xs == []
+
+
+def test_act_calibration_does_not_nest():
+    from unet_convlstm_tpu.ops.quant import act_calibration
+
+    with act_calibration():
+        with pytest.raises(RuntimeError, match="do not nest"):
+            with act_calibration():
+                pass

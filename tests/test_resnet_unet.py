@@ -453,3 +453,69 @@ def test_checkpoint_restore_survives_deleted_pretrained_pth(tmp_path, rng):
     y, _, _ = apply_fn({"params": state["params"],
                         "stats": state["stats"]}, jnp.asarray(x))
     assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def test_resume_survives_deleted_pretrained_pth(tmp_path):
+    """ADVICE r4: resume must not re-load (or require) the external .pth —
+    the checkpoint supplies every weight. fit() strips pretrained_path and
+    sets the pretrained_resolved marker when resume_from is given."""
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+
+    pth = str(tmp_path / "resnet18-local.pth")
+    torch.save(_synthetic_resnet18_sd(), pth)
+    npz = str(tmp_path / "mm.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=8, image_size=32,
+                          num_digits=1, seed=0, as_xy=True)
+    ds = NPZSequenceDataset(npz)
+    ckpt_dir = str(tmp_path / "ck")
+
+    def cfg(epochs):
+        return TrainConfig(npz_path=npz, batch_size=2, epochs=epochs,
+                           mesh_data=1, checkpoint_dir=ckpt_dir,
+                           model={"type": "resnet18", "lstm_layers": 1,
+                                  "pretrained_path": pth,
+                                  "freeze_encoder": True})
+
+    fit(cfg(1), dataset=ds, verbose=False)
+    last = os.path.join(ckpt_dir, "resnet18_last")
+    assert os.path.isdir(last)
+
+    os.remove(pth)  # the external asset disappears
+    cfg2 = cfg(2)
+    out = fit(cfg2, dataset=ds, verbose=False, resume_from=last)
+    assert [row["epoch"] for row in out["history"]] == [2]
+    # the restored encoder stays frozen (resolved marker honored)
+    assert cfg2.model["freeze_encoder"] is True
+    assert "pretrained_path" not in cfg2.model
+
+
+def test_pretrained_resolved_ignored_on_fresh_init(tmp_path, monkeypatch):
+    """ADVICE r4: pretrained_resolved copied out of a checkpoint-meta
+    config into a FRESH training run must be ignored with a warning (and
+    the never-freeze-random guard must then fire) — not silently freeze a
+    randomly initialized encoder."""
+    from unet_convlstm_tpu.data.moving_mnist import save_moving_mnist_npz
+    from unet_convlstm_tpu.data.npz_dataset import NPZSequenceDataset
+    from unet_convlstm_tpu.train.config import TrainConfig
+    from unet_convlstm_tpu.train.loop import fit
+
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path / "empty_hub"))
+    npz = str(tmp_path / "mm.npz")
+    save_moving_mnist_npz(npz, seq_len=2, num_samples=8, image_size=32,
+                          num_digits=1, seed=0, as_xy=True)
+    ds = NPZSequenceDataset(npz)
+    cfg = TrainConfig(npz_path=npz, batch_size=2, epochs=1, mesh_data=1,
+                      checkpoint_dir=str(tmp_path / "ck2"),
+                      model={"type": "resnet18", "lstm_layers": 1,
+                             "pretrained_resolved": True,
+                             "freeze_encoder": True})
+    with pytest.warns(UserWarning) as rec:
+        fit(cfg, dataset=ds, verbose=False)
+    msgs = "\n".join(str(w.message) for w in rec)
+    assert "pretrained_resolved" in msgs         # marker rejected
+    assert "falling back to freeze_encoder=False" in msgs  # guard fired
+    assert cfg.model["freeze_encoder"] is False
+    assert "pretrained_resolved" not in cfg.model

@@ -84,17 +84,46 @@ def cmd_evaluate(args):
     if args.int8:
         from .ops.quant import quantize_tree
         variables = quantize_tree(variables)
+    mesh = None
+    if getattr(args, "mesh_data", 1) > 1:
+        import functools
+
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data)
+        # batch-major flatten: collective-free forward under the sharded
+        # batch axis (models/layout.py)
+        apply_fn = functools.partial(apply_fn, flat_layout="batch")
     dataset = NPZSequenceDataset(args.npz, stats=norm_stats)
     indices = None
     if args.split == "all":
         indices = np.arange(len(dataset))
     # replay the TRAINING split exactly (its seed/frac live in the config)
     train_cfg = meta.get("config", {})
+    if args.int8 and getattr(args, "int8_calib", 0) > 0:
+        from .ops.normalize import normalize_x
+        from .ops.quant import calibrate_tree
+
+        tr_idx, _ = dataset.train_val_split(
+            train_cfg.get("train_frac", 0.8),
+            train_cfg.get("split_seed", 42))
+        nb = args.int8_calib
+        bs = min(args.batch_size, len(tr_idx))
+        calib = []
+        for i in range(nb):
+            lo = (i * bs) % max(len(tr_idx) - bs + 1, 1)
+            xb, _ = dataset.get_batch_raw(np.asarray(tr_idx[lo:lo + bs]))
+            calib.append(np.asarray(normalize_x(np.asarray(xb),
+                                                dataset.stats)))
+        variables = calibrate_tree(apply_fn, variables, calib)
+        print(f"int8: calibrated static activation scales on {nb} "
+              f"train batches (B={bs})")
     report = evaluate_model(apply_fn, variables, dataset, indices=indices,
                             batch_size=args.batch_size,
                             use_mask=args.use_mask,
                             train_frac=train_cfg.get("train_frac", 0.8),
-                            split_seed=train_cfg.get("split_seed", 42))
+                            split_seed=train_cfg.get("split_seed", 42),
+                            mesh=mesh)
     print(f"MAE={report.mae:.4f}  RMSE={report.rmse:.4f}  "
           f"bias={report.bias:+.4f}  err_std={report.err_std:.4f} [m/s]")
     os.makedirs(args.out_dir, exist_ok=True)
@@ -531,8 +560,20 @@ def cmd_serve(args):
     if args.warmup:
         b, h, w = (int(v) for v in args.warmup.split("x"))
         warmup = (b, h, w)
+    calib_frames = None
+    if args.int8 and getattr(args, "int8_calib_npz", ""):
+        import numpy as np
+
+        from .data.npz_dataset import NPZSequenceDataset
+
+        ds = NPZSequenceDataset(args.int8_calib_npz)
+        n = min(args.int8_calib, len(ds))
+        # raw frame blocks; StreamingPredictor normalizes with ITS
+        # checkpoint manifest before calibrating
+        calib_frames = [ds.get_batch_raw(np.asarray([i]))[0]
+                        for i in range(n)]
     run_server(args.checkpoint, args.host, args.port, warmup=warmup,
-               int8=args.int8)
+               int8=args.int8, int8_calib_frames=calib_frames)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -564,6 +605,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8 MXU convs, ~2x batch throughput where bf16 "
                         "saturates the MXU; metrics shift by quantization "
                         "noise only")
+    e.add_argument("--int8-calib", type=int, default=0, metavar="N",
+                   help="with --int8: calibrate static per-conv activation "
+                        "scales on N train-split batches before evaluating "
+                        "(removes the dynamic amax passes; conv inputs "
+                        "reach HBM at int8 width — ops/quant.py)")
+    e.add_argument("--mesh-data", type=int, default=1,
+                   help="data-parallel offline evaluation: shard each "
+                        "eval batch over an N-device 'data' mesh (the "
+                        "on-device metric reductions become psums; the "
+                        "report is identical to the single-device pass). "
+                        "batch-size must be divisible by N")
     e.set_defaults(fn=cmd_evaluate)
 
     r = sub.add_parser("rollout", help="rollout video (reference test.py)")
@@ -805,6 +857,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pre-compile for a geometry, e.g. 1x64x64")
     sv.add_argument("--int8", action="store_true",
                     help="post-training int8 inference (see evaluate)")
+    sv.add_argument("--int8-calib-npz", default="", metavar="NPZ",
+                    help="with --int8: calibrate static activation scales "
+                        "on sequences from this dataset before serving "
+                        "(removes the per-request dynamic amax passes — "
+                        "ops/quant.py)")
+    sv.add_argument("--int8-calib", type=int, default=4, metavar="N",
+                    help="number of calibration sequence blocks to draw "
+                        "from --int8-calib-npz (default 4)")
     sv.set_defaults(fn=cmd_serve)
 
     dr = sub.add_parser("doctor",

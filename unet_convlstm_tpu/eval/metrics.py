@@ -62,16 +62,23 @@ class EvalReport:
 
 def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
                         hist_range=(-10.0, 10.0), hist_bins: int = 100,
-                        err_range=(-5.0, 5.0)):
+                        err_range=(-5.0, 5.0), mesh=None,
+                        variables_sharding=None):
+    """``mesh``: shard the batch over the 'data' axis — every reduction
+    here is a full sum, so XLA turns them into psums over ICI and the
+    suite scales to all chips (the reference's get_metrics.py:117-125 is a
+    batch-1 single-GPU loop). The scatter sampling is per-ROW
+    (``sample_idx`` [B, k]) precisely so its gather stays device-local
+    under the sharded batch axis."""
     lo, hi = hist_range
     elo, ehi = err_range
 
-    @jax.jit
     def batch_fn(variables, x_raw, y_raw, sample_idx, n_valid):
-        """``sample_idx``: [budget] flat positions — only these pixels leave
-        the device for the balanced-scatter pool (the reference ships every
-        pixel to host lists, get_metrics.py:157-173). ``n_valid``: real rows
-        of a zero-padded tail batch (static shapes, no retrace)."""
+        """``sample_idx``: [B, k] per-sample flat positions — only these
+        pixels leave the device for the balanced-scatter pool (the
+        reference ships every pixel to host lists, get_metrics.py:157-173).
+        ``n_valid``: real rows of a zero-padded tail batch (static shapes,
+        no retrace)."""
         x = normalize_x(x_raw, stats)
         y = normalize_y(y_raw, stats)
         mask = compute_mask(x_raw, stats)
@@ -106,14 +113,26 @@ def _make_eval_batch_fn(apply_fn: Callable, stats, use_mask: bool,
                                   weights=m)[0]
         err_hist = jnp.histogram(diff, bins=hist_bins, range=(elo, ehi),
                                  weights=m)[0]
-        # device-side bounded sampling for the balanced scatter
-        pred_s = jnp.take(pred_d.ravel(), sample_idx)
-        gt_s = jnp.take(gt_d.ravel(), sample_idx)
-        m_s = jnp.take(m.ravel(), sample_idx)
+        # device-side bounded sampling for the balanced scatter — per-row
+        # take_along_axis: each device gathers only from its own batch
+        # rows, so a sharded batch axis adds no collective here
+        B = x_raw.shape[0]
+        pred_s = jnp.take_along_axis(pred_d.reshape(B, -1), sample_idx, 1)
+        gt_s = jnp.take_along_axis(gt_d.reshape(B, -1), sample_idx, 1)
+        m_s = jnp.take_along_axis(m.reshape(B, -1), sample_idx, 1)
         return sums, c_sums, t_n, t_abs, gt_hist, pred_hist, err_hist, \
             pred_s, gt_s, m_s
 
-    return batch_fn
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        rep = replicated_sharding(mesh)
+        bat = batch_sharding(mesh)
+        var = variables_sharding if variables_sharding is not None else rep
+        kwargs["in_shardings"] = (var, bat, bat, bat, rep)
+        kwargs["out_shardings"] = (rep,) * 7 + (bat, bat, bat)
+    return jax.jit(batch_fn, **kwargs)
 
 
 def balanced_scatter_sample(gt: np.ndarray, pred: np.ndarray,
@@ -146,16 +165,30 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
                    err_range=(-5.0, 5.0),
                    scatter_budget_per_batch: int = 65536,
                    seed: int = 0, train_frac: float = 0.8,
-                   split_seed: int = 42) -> EvalReport:
+                   split_seed: int = 42, mesh=None,
+                   variables_sharding=None) -> EvalReport:
     """Full evaluation pass over ``indices`` (default: the val split replayed
     exactly as during training — reference get_metrics.py:100-106; pass the
     training config's train_frac/split_seed when they differ from the
-    defaults, or train samples leak into the 'val' metrics)."""
+    defaults, or train samples leak into the 'val' metrics).
+
+    ``mesh``: run the pass data-parallel — the batch is sharded over the
+    mesh's 'data' axis and the on-device reductions become psums; the
+    report is identical to the single-device pass (same per-row sample
+    indices; tested in tests/test_parallel.py). Wrap ``apply_fn`` with
+    ``flat_layout="batch"`` for a collective-free forward (models/layout.py)."""
     if indices is None:
         _, indices = dataset.train_val_split(train_frac, split_seed)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(f"eval batch {batch_size} not divisible by "
+                             f"mesh data degree {n_data}")
     stats = dataset.stats
     batch_fn = _make_eval_batch_fn(apply_fn, stats, use_mask,
-                                   hist_range, hist_bins, err_range)
+                                   hist_range, hist_bins, err_range,
+                                   mesh=mesh,
+                                   variables_sharding=variables_sharding)
     loader = SequenceLoader(dataset, indices, batch_size, shuffle=False)
 
     T = dataset.T
@@ -172,15 +205,32 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
 
     from ..data.pipeline import pad_batch
 
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        bat_shard = batch_sharding(mesh)
+        variables = jax.device_put(
+            variables, variables_sharding if variables_sharding is not None
+            else replicated_sharding(mesh))
+
     for x_raw, y_raw in loader:
         # pad the ragged tail so every batch shares one compiled shape
         x_raw, y_raw, n_valid = pad_batch(x_raw, y_raw, batch_size)
-        n_px = int(np.prod(y_raw.shape))
-        budget = min(scatter_budget_per_batch, n_px)
-        sample_idx_np = rng.choice(n_px, budget, replace=False)
-        sample_idx = jnp.asarray(sample_idx_np)
-        out = batch_fn(variables, jnp.asarray(x_raw), jnp.asarray(y_raw),
-                       sample_idx, n_valid)
+        # per-row stratified sampling: k pixels from each sample's [T,H,W,C]
+        # block (device-local gather under a sharded batch; the reference
+        # ships EVERY pixel to host lists, get_metrics.py:157-173)
+        row_px = int(np.prod(y_raw.shape[1:]))
+        k = min(max(scatter_budget_per_batch // batch_size, 1), row_px)
+        sample_idx_np = np.stack([rng.choice(row_px, k, replace=False)
+                                  for _ in range(batch_size)])
+        if mesh is not None:
+            x_dev = jax.device_put(np.asarray(x_raw), bat_shard)
+            y_dev = jax.device_put(np.asarray(y_raw), bat_shard)
+            sample_idx = jax.device_put(sample_idx_np, bat_shard)
+        else:
+            x_dev, y_dev = jnp.asarray(x_raw), jnp.asarray(y_raw)
+            sample_idx = jnp.asarray(sample_idx_np)
+        out = batch_fn(variables, x_dev, y_dev, sample_idx, n_valid)
         s, cs, tn, ta, gh, ph, eh, pred_s, gt_s, m_s = jax.device_get(out)
         sums += s
         c_sums += cs
@@ -189,13 +239,13 @@ def evaluate_model(apply_fn: Callable, variables, dataset: NPZSequenceDataset,
         gt_h += gh
         pr_h += ph
         er_h += eh
-        keep = m_s > 0
+        keep = (m_s > 0).ravel()
         if keep.any():
-            sc_gt.append(gt_s[keep])
-            sc_pred.append(pred_s[keep])
-            # the raveled layout is [..., C] with C fastest, so the channel
-            # of a flat position is idx % C
-            sc_ch.append((sample_idx_np % C)[keep])
+            sc_gt.append(gt_s.ravel()[keep])
+            sc_pred.append(pred_s.ravel()[keep])
+            # each row's flat layout is [T, H, W, C] with C fastest, so the
+            # channel of a per-row flat position is idx % C
+            sc_ch.append((sample_idx_np.ravel() % C)[keep])
 
     n = max(sums[0], 1e-12)
     mae = sums[1] / n

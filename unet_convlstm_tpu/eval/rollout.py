@@ -38,13 +38,19 @@ _SCAN_CACHE: "OrderedDict[int, Tuple[Callable, Callable]]" = OrderedDict()
 
 
 def _cached_jit(cache: OrderedDict, apply_fn: Callable,
-                build: Callable) -> Callable:
-    entry = cache.get(id(apply_fn))
-    if entry is not None and entry[0] is apply_fn:
-        cache.move_to_end(id(apply_fn))
+                build: Callable, extra_key=None) -> Callable:
+    """``extra_key``: distinguishes variants of the same apply_fn (e.g. a
+    Mesh for the sharded rollout) — hashed by identity like apply_fn."""
+    key = (id(apply_fn), id(extra_key) if extra_key is not None else None)
+    entry = cache.get(key)
+    if (entry is not None and entry[0] is apply_fn
+            and entry[2] is extra_key):
+        cache.move_to_end(key)
         return entry[1]
     fn = build()
-    cache[id(apply_fn)] = (apply_fn, fn)
+    # the strong refs stored alongside guarantee neither id can be
+    # recycled while the entry lives
+    cache[key] = (apply_fn, fn, extra_key)
     while len(cache) > _CACHE_LIMIT:
         cache.popitem(last=False)
     return fn
@@ -90,17 +96,34 @@ def rollout_streaming(apply_fn: Callable, variables, x_seq: jax.Array,
 
 def rollout_scan(apply_fn: Callable, variables, x_seq: jax.Array,
                  init_state_fn: Callable,
-                 state: Optional[Dict[str, Any]] = None
-                 ) -> Tuple[jax.Array, Dict[str, Any]]:
+                 state: Optional[Dict[str, Any]] = None,
+                 mesh=None) -> Tuple[jax.Array, Dict[str, Any]]:
     """Whole-sequence streaming rollout as ONE device dispatch: the frame
     loop is a ``lax.scan`` over time, carrying the recurrent state — same
-    outputs as ``rollout_streaming``, without T host round-trips."""
+    outputs as ``rollout_streaming``, without T host round-trips.
+
+    ``mesh``: shard the batch of sequences (and the [B,...] recurrent
+    carries) over the mesh's 'data' axis — data-parallel offline rollout,
+    identical outputs to the single-device pass (tested). Wrap
+    ``apply_fn`` with ``flat_layout="batch"`` for a collective-free
+    forward (models/layout.py); the reference's analog is a batch-1
+    single-GPU prefix loop (test.py:305-316)."""
     B, T, H, W, _ = x_seq.shape
     if state is None:
         state = init_state_fn(B, H, W)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        if B % mesh.shape["data"]:
+            raise ValueError(f"rollout batch {B} not divisible by mesh "
+                             f"data degree {mesh.shape['data']}")
+        rep = replicated_sharding(mesh)
+        bat = batch_sharding(mesh)
+        variables = jax.device_put(variables, rep)
+        x_seq = jax.device_put(x_seq, bat)
+        state = jax.device_put(state, bat)  # every carry leaf is [B, ...]
 
     def build():
-        @jax.jit
         def scan_fn(variables, x_seq, state):
             def body(st, x_t):
                 y_t, new_st, _ = apply_fn(variables, x_t[:, None],
@@ -116,9 +139,14 @@ def rollout_scan(apply_fn: Callable, variables, x_seq: jax.Array,
             final, ys = jax.lax.scan(body, state_c, xs)
             return jnp.moveaxis(ys, 0, 1), final
 
-        return scan_fn
+        if mesh is None:
+            return jax.jit(scan_fn)
+        state_bat = jax.tree_util.tree_map(lambda _: bat, state)
+        return jax.jit(scan_fn,
+                       in_shardings=(rep, bat, state_bat),
+                       out_shardings=(bat, state_bat))
 
-    scan_fn = _cached_jit(_SCAN_CACHE, apply_fn, build)
+    scan_fn = _cached_jit(_SCAN_CACHE, apply_fn, build, extra_key=mesh)
     return scan_fn(variables, x_seq, state)
 
 

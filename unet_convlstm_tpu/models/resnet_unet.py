@@ -220,8 +220,10 @@ def resnet_unet_init_state(cfg: ResNetUNetConfig, batch: int, height: int,
     return state
 
 
-from .layout import to_time_major as _to_time_major  # noqa: E402
-from .layout import to_batch_major as _to_batch_major  # noqa: E402
+from .layout import (flatten_seq as _flatten_seq,  # noqa: E402
+                     unflatten_seq as _unflatten_seq,
+                     to_time_major as _to_time_major,
+                     to_batch_major as _to_batch_major)
 
 
 def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
@@ -230,14 +232,17 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
                       policy: Policy = DEFAULT_POLICY,
                       use_pallas: bool = False,
                       unroll: int = 1,
-                      remat: bool = False):
+                      remat: bool = False,
+                      flat_layout: str = "time"):
     """x_seq: [B,T,H,W,in_channels] → (y_seq [B,T,H,W,out], new_state,
-    new_stats). H, W must be divisible by 32."""
+    new_stats). H, W must be divisible by 32. ``flat_layout``: "time"
+    (single-chip fastest) or "batch" (sharding-stable under a data
+    mesh) — see models/layout.py."""
     params, stats = variables["params"], variables["stats"]
     B, T = x_seq.shape[0], x_seq.shape[1]
-    # time-major layout throughout (one transpose of the thin input; BN
-    # batch stats are order-invariant)
-    x_bt = x_seq.transpose(1, 0, 2, 3, 4).reshape(T * B, *x_seq.shape[2:])
+    # BN batch stats are order-invariant; both flatten layouts compute
+    # the same function (models/layout.py)
+    x_bt = _flatten_seq(x_seq, flat_layout)
 
     enc_train = train and (not cfg.freeze_encoder or cfg.encoder_bn_train)
     enc_apply = (jax.checkpoint(resnet18_encoder_apply,
@@ -251,24 +256,28 @@ def resnet_unet_apply(variables, x_seq: jax.Array, cfg: ResNetUNetConfig,
 
     new_state: Dict[str, Any] = {}
     # bottleneck recurrence
-    xb_tm = _to_time_major(feats[-1], B, T)
+    xb_tm = _to_time_major(feats[-1], B, T, flat_layout)
     s = None if state is None else state.get("temporal")
     xb_out, new_state["temporal"] = convlstm(params["temporal"], xb_tm,
                                              state=s, policy=policy,
                                              use_pallas=use_pallas,
-                                             unroll=unroll)
-    feats[-1] = _to_batch_major(xb_out, B, T).astype(x_bt.dtype)
+                                             unroll=unroll,
+                                             flat_layout=flat_layout)
+    feats[-1] = _to_batch_major(xb_out, B, T,
+                                flat_layout).astype(x_bt.dtype)
     # skip recurrences
     for i in range(len(ENCODER_CHANNELS) - 1):
-        f_tm = _to_time_major(feats[i], B, T)
+        f_tm = _to_time_major(feats[i], B, T, flat_layout)
         s = None if state is None else state.get(f"skip{i}")
         f_out, new_state[f"skip{i}"] = convlstm(params[f"skip{i}"], f_tm,
                                                 state=s, policy=policy,
                                                 use_pallas=use_pallas,
-                                                unroll=unroll)
-        feats[i] = _to_batch_major(f_out, B, T).astype(x_bt.dtype)
+                                                unroll=unroll,
+                                                flat_layout=flat_layout)
+        feats[i] = _to_batch_major(f_out, B, T,
+                                   flat_layout).astype(x_bt.dtype)
 
     y_bt, dec_ns = decoder_apply(params["decoder"], stats["decoder"], feats,
                                  train, policy)
-    y_seq = y_bt.reshape(T, B, *y_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
+    y_seq = _unflatten_seq(y_bt, B, T, flat_layout)
     return y_seq, new_state, {"encoder": enc_ns, "decoder": dec_ns}

@@ -150,8 +150,10 @@ def _decode(params, stats, xb_bt, skips_bt, cfg: TemporalUNetConfig,
     return y, ns
 
 
-from .layout import to_time_major as _to_time_major  # noqa: E402
-from .layout import to_batch_major as _to_batch_major  # noqa: E402
+from .layout import (flatten_seq as _flatten_seq,  # noqa: E402
+                     unflatten_seq as _unflatten_seq,
+                     to_time_major as _to_time_major,
+                     to_batch_major as _to_batch_major)
 
 
 def temporal_unet_apply(variables, x_seq: jax.Array,
@@ -162,50 +164,54 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
                         use_pallas: bool = False,
                         use_fused_doubleconv: bool = False,
                         unroll: int = 1,
-                        remat: bool = False
+                        remat: bool = False,
+                        flat_layout: str = "time"
                         ) -> Tuple[jax.Array, Dict[str, Any], Dict[str, Any]]:
     """Forward over a full sequence.
 
     x_seq: [B, T, H, W, 2*in_per_sat]  →  (y_seq [B,T,H,W,out], new_state,
     new_stats).  Pass ``state`` from a previous call for streaming rollout.
+    ``flat_layout``: "time" (single-chip fastest) or "batch"
+    (sharding-stable under a data mesh) — see models/layout.py.
     """
     params, stats = variables["params"], variables["stats"]
     B, T = x_seq.shape[0], x_seq.shape[1]
 
     # --- Encoder, batched over all T*B frames (MXU-friendly) ---
-    # One transpose of the (small, in_ch=2) input puts the whole network in
-    # time-major layout; every later scan boundary is then a free reshape.
-    # BatchNorm batch statistics are order-invariant, so this is
-    # numerically the same computation as the batch-major layout.
-    x_bt = x_seq.transpose(1, 0, 2, 3, 4).reshape(T * B, *x_seq.shape[2:])
+    # BatchNorm batch statistics are order-invariant, so both flatten
+    # layouts compute the same function (models/layout.py).
+    x_bt = _flatten_seq(x_seq, flat_layout)
     encode = (jax.checkpoint(_encode, static_argnums=(3, 4, 5, 6))
               if remat else _encode)
     xb, skips, enc_stats = encode(params, stats, x_bt, cfg, train, policy,
                                   use_fused_doubleconv)
 
     # --- Temporal recurrence at the bottleneck (lax.scan) ---
-    xb_tm = _to_time_major(xb, B, T)
+    xb_tm = _to_time_major(xb, B, T, flat_layout)
     lstm_state = None if state is None else state.get("temporal")
     xb_out_tm, new_temporal = convlstm(params["temporal"], xb_tm,
                                        state=lstm_state, policy=policy,
-                                       use_pallas=use_pallas, unroll=unroll)
+                                       use_pallas=use_pallas, unroll=unroll,
+                                       flat_layout=flat_layout)
     new_state: Dict[str, Any] = {"temporal": new_temporal}
 
     # --- Optional skip recurrences ---
     x3, x2, x1, x0 = skips
     if cfg.use_skip_lstm:
-        x3_tm = _to_time_major(x3, B, T)
-        x2_tm = _to_time_major(x2, B, T)
+        x3_tm = _to_time_major(x3, B, T, flat_layout)
+        x2_tm = _to_time_major(x2, B, T, flat_layout)
         s3 = None if state is None else state.get("skip3")
         s2 = None if state is None else state.get("skip2")
         x3_out, new_s3 = convlstm(params["skip3"], x3_tm, state=s3,
                                   policy=policy, use_pallas=use_pallas,
-                                  unroll=unroll)
+                                  unroll=unroll,
+                                  flat_layout=flat_layout)
         x2_out, new_s2 = convlstm(params["skip2"], x2_tm, state=s2,
                                   policy=policy, use_pallas=use_pallas,
-                                  unroll=unroll)
-        x3 = _to_batch_major(x3_out, B, T)
-        x2 = _to_batch_major(x2_out, B, T)
+                                  unroll=unroll,
+                                  flat_layout=flat_layout)
+        x3 = _to_batch_major(x3_out, B, T, flat_layout)
+        x2 = _to_batch_major(x2_out, B, T, flat_layout)
         new_state["skip3"] = new_s3
         new_state["skip2"] = new_s2
 
@@ -214,14 +220,14 @@ def temporal_unet_apply(variables, x_seq: jax.Array,
     # LARGEST live tensors of the backward pass (full-res maps at base_ch
     # width) — recomputing them is what lets B=64 fit the production
     # config's HBM (docs/PERF.md knob sweep).
-    xb_bt = _to_batch_major(xb_out_tm, B, T)
+    xb_bt = _to_batch_major(xb_out_tm, B, T, flat_layout)
     decode = (jax.checkpoint(_decode, static_argnums=(4, 5, 6, 7))
               if remat else _decode)
     y_bt, dec_stats = decode(params, stats, xb_bt.astype(x_bt.dtype),
                              (x3, x2, x1, x0), cfg, train, policy,
                              use_fused_doubleconv)
 
-    # back to batch-major only at the (small, out_ch-wide) output
-    y_seq = y_bt.reshape(T, B, *y_bt.shape[1:]).transpose(1, 0, 2, 3, 4)
+    # back to [B, T, ...] only at the (small, out_ch-wide) output
+    y_seq = _unflatten_seq(y_bt, B, T, flat_layout)
     new_stats = {**enc_stats, **dec_stats}
     return y_seq, new_state, new_stats

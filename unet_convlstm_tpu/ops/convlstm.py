@@ -146,12 +146,17 @@ def convlstm(params, x_seq: jax.Array,
              hidden_dim: Optional[int] = None,
              policy: Policy = DEFAULT_POLICY,
              use_pallas: bool = False,
-             unroll: int = 1) -> Tuple[jax.Array, List[Carry]]:
+             unroll: int = 1,
+             flat_layout: str = "time") -> Tuple[jax.Array, List[Carry]]:
     """Run the full stack over a time-major sequence.
 
     x_seq: [T, B, H, W, Cin]. Returns (out_seq [T,B,H,W,hidden], final states).
     ``state`` enables O(1)-per-frame streaming rollout (each entry is the
-    (h, c) carry of one layer).
+    (h, c) carry of one layer). ``flat_layout`` governs how the hoisted
+    input projection flattens [T,B]→one conv batch: "time" is a free
+    reshape on one chip but interleaves a 'data'-sharded batch axis
+    (XLA all-gathers the sequence); "batch" stays device-local under a
+    mesh at the cost of two local transposes (models/layout.py).
     """
     num_layers = len(params)
     T, B, H, W, _ = x_seq.shape
@@ -209,9 +214,10 @@ def convlstm(params, x_seq: jax.Array,
                 if "b" in layer_params["conv"] else {"w": w[:, :, :in_dim, :]}
             p_h = {"w": w[:, :, in_dim:, :]}
             T_ = out.shape[0]
-            x_proj = conv2d(p_x, out.reshape(T_ * B, H, W, in_dim),
-                            policy=policy)
-            x_proj = x_proj.reshape(T_, B, H, W, 4 * hidden_dim)
+            from ..models.layout import to_batch_major, to_time_major
+            x_flat = to_batch_major(out, B, T_, flat_layout)
+            x_proj = conv2d(p_x, x_flat, policy=policy)
+            x_proj = to_time_major(x_proj, B, T_, flat_layout)
 
             def step(carry, xp_t, _ph=p_h):
                 h_t, carry = _recurrent_step_preprojected(

@@ -13,10 +13,22 @@ Scheme (standard symmetric PTQ):
 * **Weights**: per-output-channel symmetric int8 — ``w_q = round(w / s)``
   with ``s = max|w| / 127`` reduced over all axes except the output
   channel. Quantized offline, once, by :func:`quantize_tree`.
-* **Activations**: dynamic per-tensor symmetric int8 at each conv — the
-  scale is ``max|x| / 127`` computed on the fly (one reduction, fused by
-  XLA into the surrounding elementwise work). No calibration pass needed;
-  ReLU/BN keep activation ranges benign in this architecture.
+* **Activations**: two modes.
+  - *Dynamic* (default): per-tensor symmetric int8 at each conv — the
+    scale is ``max|x| / 127`` computed on the fly. Zero setup, but the
+    amax REDUCTION forces every conv input to materialize in bf16/f32
+    first (a full extra read+write per conv) — measured as the reason
+    weight-only int8 capped at 1.10× on the HBM-bound resnet family
+    (docs/PERF.md round 4).
+  - *Calibrated static* (:func:`calibrate_tree`): per-site scales are
+    measured once over N calibration batches and stored as compile-time
+    constants (``x_s`` leaves). The quantize chain
+    ``round(x/x_s)→clip→int8`` is then pure elementwise, so XLA fuses it
+    into the producer's epilogue and the conv input only ever hits HBM
+    at int8 width — the activation-byte reduction named as the resnet
+    family's remaining lever (VERDICT r4 #2). Inputs beyond the
+    calibration range clip at ±127; calibrate on data that covers the
+    deployment distribution.
 * **Accumulation**: int32 inside the conv (``preferred_element_type``),
   dequantized by the scalar product of the two scales; bias added in f32.
 
@@ -34,13 +46,88 @@ ways PTQ doesn't address; docs/PERF.md).
 
 from __future__ import annotations
 
-from typing import Tuple
+import contextlib
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 INT8_MAX = 127.0
+
+
+class SiteTag:
+    """Static per-conv-site identity for activation calibration.
+
+    Registered as a pytree node with NO leaves (the id rides in the aux
+    data), so under ``jit`` it stays a concrete Python value at trace
+    time — which is what lets the calibration callback key its recordings
+    by site, and lets ``attach_act_scales`` map them back onto the tree.
+    ``tree_map`` / ``device_put`` / sharding all pass it through untouched
+    (no array leaves)."""
+
+    def __init__(self, sid: int):
+        self.sid = sid
+
+    def __repr__(self):
+        return f"SiteTag({self.sid})"
+
+    def __eq__(self, other):
+        return isinstance(other, SiteTag) and other.sid == self.sid
+
+    def __hash__(self):
+        return hash(("SiteTag", self.sid))
+
+
+jax.tree_util.register_pytree_node(
+    SiteTag, lambda t: ((), t.sid), lambda sid, _: SiteTag(sid))
+
+# site id -> running amax (host floats), active only inside
+# act_calibration(); conv ops consult this at TRACE time, so functions
+# jitted outside a calibration context carry zero recording overhead
+_CALIB: Optional[Dict[int, float]] = None
+
+
+def _record_amax(sid: int, amax) -> None:
+    cur = _CALIB.get(sid, 0.0) if _CALIB is not None else 0.0
+    if _CALIB is not None:
+        _CALIB[sid] = max(cur, float(amax))
+
+
+def _calib_hook(params: dict, x_f32: jax.Array) -> None:
+    """Inside an active calibration context, record this site's |x| max —
+    via ``io_callback`` so it works under jit AND inside ``lax.scan``
+    (the quantized ConvLSTM cell's conv lives in the scan body)."""
+    if _CALIB is None:
+        return
+    tag = params.get("site")
+    if tag is None:
+        return
+    from jax.experimental import io_callback
+    from functools import partial
+
+    io_callback(partial(_record_amax, tag.sid), None,
+                jnp.max(jnp.abs(x_f32)), ordered=False)
+
+
+@contextlib.contextmanager
+def act_calibration():
+    """Collect per-site activation ranges from every quantized conv that
+    executes inside this context (dynamic-quant mode). Yields the
+    site→amax dict; pass it to :func:`attach_act_scales`.
+
+    Functions must be TRACED inside the context for recording to be
+    compiled in — use a fresh ``jax.jit`` (or eager calls), not a
+    previously-compiled one, and ``block_until_ready`` the last output
+    before leaving the context so the async callbacks have landed."""
+    global _CALIB
+    if _CALIB is not None:
+        raise RuntimeError("act_calibration() contexts do not nest")
+    _CALIB = {}
+    try:
+        yield _CALIB
+    finally:
+        _CALIB = None
 
 
 def _quantize_weight(w: jax.Array, out_axis: int) -> Tuple[jax.Array,
@@ -101,9 +188,31 @@ def conv2d_int8(params: dict, x: jax.Array, stride: int = 1,
             "Transposed kernels must live under the structural 'wt' key "
             "(ops/conv.py::conv_transpose2d_init) so quantize_tree scales "
             "them on out_axis=2")
-    x_q, x_s = _quantize_act(x)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    if "x_s" not in params and _CALIB is not None:
+        # CALIBRATION pass: record the input range, then run the conv in
+        # f32 with dequantized weights — textbook PTQ observes ranges on
+        # the float model, and the CPU backend (where calibration runs,
+        # see calibrate_tree) executes int8 convs orders of magnitude
+        # slower than f32 ones. The int8 path below is never traced here.
+        _calib_hook(params, x.astype(jnp.float32))
+        w = (params["w_q"].astype(jnp.float32)
+             * params["w_s"].reshape(1, 1, 1, -1))
+        y = lax.conv_general_dilated(
+            x.astype(jnp.float32), w, window_strides=(stride, stride),
+            padding=padding, dimension_numbers=dimension_numbers)
+        if "b" in params:
+            y = y + params["b"].astype(jnp.float32)
+        return y.astype(out_dtype)
+    if "x_s" in params:
+        # calibrated static scale: pure elementwise quantize — XLA fuses
+        # it into the producer, the input reaches HBM at int8 width only
+        x_s = params["x_s"].astype(jnp.float32)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_s),
+                       -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    else:
+        x_q, x_s = _quantize_act(x)
     y = lax.conv_general_dilated(
         x_q, params["w_q"],
         window_strides=(stride, stride),
@@ -128,7 +237,25 @@ def conv_transpose2d_int8(params: dict, x: jax.Array, stride: int = 2,
             f"wt_s has {params['wt_s'].shape[0]} scales but the HWOI kernel "
             f"has {params['wt_q'].shape[2]} output channels — quantize "
             "transposed kernels via quantize_conv_params on their 'wt' leaf")
-    x_q, x_s = _quantize_act(x)
+    if "x_s" not in params and _CALIB is not None:
+        # calibration pass: record + f32 conv with dequantized weights
+        # (see conv2d_int8)
+        _calib_hook(params, x.astype(jnp.float32))
+        w = (params["wt_q"].astype(jnp.float32)
+             * params["wt_s"].reshape(1, 1, -1, 1))
+        y = lax.conv_transpose(
+            x.astype(jnp.float32), w, strides=(stride, stride),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
+        if "b" in params:
+            y = y + params["b"].astype(jnp.float32)
+        return y.astype(out_dtype)
+    if "x_s" in params:
+        x_s = params["x_s"].astype(jnp.float32)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_s),
+                       -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    else:
+        x_q, x_s = _quantize_act(x)
     y = lax.conv_transpose(
         x_q, params["wt_q"],
         strides=(stride, stride),
@@ -157,10 +284,20 @@ def quantize_tree(variables: dict) -> dict:
     that still hold a transposed kernel as ``"w"`` under an ``"up"`` block
     are refused loudly. Returns a NEW tree; the input is not mutated.
     """
+    counter = [0]
+
+    def tagged(node):
+        q = quantize_conv_params(node)
+        # deterministic tree-walk site id (dicts iterate insertion-
+        # ordered) — the calibration key attach_act_scales maps back
+        q["site"] = SiteTag(counter[0])
+        counter[0] += 1
+        return q
+
     def walk(node, key=None):
         if isinstance(node, dict):
             if "wt" in node and getattr(node["wt"], "ndim", 0) == 4:
-                return quantize_conv_params(node)
+                return tagged(node)
             if "w" in node and getattr(node["w"], "ndim", 0) == 4:
                 if key == "up":
                     raise ValueError(
@@ -169,7 +306,7 @@ def quantize_tree(variables: dict) -> dict:
                         "(the float path still loads it) so the kernel "
                         "carries its structural 'wt' tag before int8 "
                         "quantization")
-                return quantize_conv_params(node)
+                return tagged(node)
             return {k: walk(v, k) for k, v in node.items()}
         return node
 
@@ -179,3 +316,77 @@ def quantize_tree(variables: dict) -> dict:
     else:
         out = walk(out)
     return out
+
+
+def attach_act_scales(qvariables: dict, ranges: Dict[int, float]) -> dict:
+    """Attach calibrated static activation scales to a quantized tree.
+
+    ``ranges``: site id → measured |x| max (from :func:`act_calibration`).
+    Each quantized conv leaf whose site has a positive recorded range gets
+    ``x_s = amax / 127`` as a compile-time-constant scalar; sites never
+    executed during calibration keep dynamic quantization (and a site
+    with amax == 0 — an all-zero activation — also stays dynamic rather
+    than pinning a degenerate scale). Returns a NEW tree."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            tag = node.get("site")
+            if isinstance(tag, SiteTag) and ("w_q" in node
+                                             or "wt_q" in node):
+                amax = ranges.get(tag.sid, 0.0)
+                if amax > 0.0:
+                    out = dict(node)
+                    out["x_s"] = jnp.float32(amax / INT8_MAX)
+                    return out
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    out = dict(qvariables)
+    if "params" in out:
+        out["params"] = walk(out["params"])
+    else:
+        out = walk(out)
+    return out
+
+
+def calibrate_tree(apply_fn, qvariables: dict, batches,
+                   device=None, **apply_kw) -> dict:
+    """Turnkey static-activation calibration (VERDICT r4 #2).
+
+    Runs ``apply_fn(qvariables, x, train=False)`` over the calibration
+    ``batches`` (an iterable of [B,T,H,W,C] arrays, already normalized —
+    the same tensors inference will see) under a PRIVATE jit inside an
+    :func:`act_calibration` context, then returns the tree with static
+    per-site ``x_s`` scales attached. The calibration forward is pinned
+    to the CPU BACKEND by default — range collection needs host
+    callbacks (``io_callback``), which the axon TPU runtime does not
+    support (``UNIMPLEMENTED: axon_pjrt does not support host send/recv
+    callbacks``) — and runs EAGER, not jitted: activation maxima are
+    device-agnostic, and a monolithic XLA-CPU compile of the production
+    model costs minutes for a one-off pass. The returned tree's arrays
+    are the ones passed in (still wherever the caller put them) plus
+    host-scalar ``x_s``."""
+    if device is None:
+        try:
+            device = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            device = None  # no CPU backend: run wherever we are
+    qv = jax.device_put(qvariables, device) if device is not None \
+        else qvariables
+    ctx = (jax.default_device(device) if device is not None
+           else contextlib.nullcontext())
+    with act_calibration() as ranges, ctx:
+        # EAGER on purpose: a monolithic jit of the production model for
+        # the CPU backend costs minutes of XLA-CPU compile for a one-off
+        # pass; eager dispatch only compiles the small per-op kernels
+        # (the scan bodies still trace, which io_callback handles)
+        out = None
+        for xb in batches:
+            y, _, _ = apply_fn(qv, jnp.asarray(xb), train=False,
+                               **apply_kw)
+            out = y
+        if out is None:
+            raise ValueError("calibrate_tree: no calibration batches given")
+        jax.block_until_ready(out)
+    return attach_act_scales(qvariables, ranges)

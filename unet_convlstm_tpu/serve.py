@@ -54,7 +54,8 @@ class StreamingPredictor:
 
     def __init__(self, checkpoint_path: str,
                  denormalize_output: bool = True,
-                 int8: bool = False):
+                 int8: bool = False,
+                 int8_calib_frames=None):
         import jax.numpy as jnp  # noqa: F401  (fail early if jax broken)
 
         from .models.registry import build_model
@@ -75,12 +76,29 @@ class StreamingPredictor:
             from .ops.quant import quantize_tree
             self.variables = quantize_tree(self.variables)
         self.int8 = int8
+        self.int8_calibrated = False
         if "norm_stats" not in meta:
             raise ValueError(
                 "checkpoint has no normalization manifest (norm_stats) — "
                 "it cannot map raw frames to model inputs; retrain or "
                 "re-save with a stats manifest")
         self.norm_stats = NormStats.from_dict(meta["norm_stats"])
+        if int8 and int8_calib_frames is not None:
+            # calibrated static activation scales (ops/quant.py,
+            # VERDICT r4 #2): the per-request dynamic amax passes —
+            # measured as what made int8 LOSE to bf16 at single-frame
+            # dispatches (docs/SERVING.md round 4) — disappear; conv
+            # inputs reach HBM at int8 width. ``int8_calib_frames``:
+            # iterable of RAW [B,T,H,W,C] frame blocks covering the
+            # deployment distribution.
+            from .ops.normalize import normalize_x
+            from .ops.quant import calibrate_tree
+
+            batches = [normalize_x(np.asarray(b), self.norm_stats)
+                       for b in int8_calib_frames]
+            self.variables = calibrate_tree(apply_fn, self.variables,
+                                            batches)
+            self.int8_calibrated = True
         self.denormalize_output = denormalize_output
         self._sessions: Dict[str, _Session] = {}
         self._sessions_lock = threading.Lock()
@@ -477,8 +495,13 @@ def serve_http(predictor: StreamingPredictor, host: str = "127.0.0.1",
 
 def run_server(checkpoint: str, host: str, port: int,
                warmup: Optional[Tuple[int, int, int]] = None,
-               int8: bool = False):
-    predictor = StreamingPredictor(checkpoint, int8=int8)
+               int8: bool = False,
+               int8_calib_frames=None):
+    predictor = StreamingPredictor(checkpoint, int8=int8,
+                                   int8_calib_frames=int8_calib_frames)
+    if predictor.int8_calibrated:
+        print("int8: static activation scales calibrated "
+              f"({len(int8_calib_frames)} frame blocks)")
     if warmup:
         print(f"warmup compile {warmup} ...")
         predictor.warmup(*warmup)

@@ -46,6 +46,11 @@ class TrainConfig:
     # runtime
     seed: int = 42
     use_pallas: bool = False      # fused gate kernel (XLA fuses equally well)
+    # sequence-flatten layout for the conv path (models/layout.py):
+    # "auto" → "batch" (sharding-stable, zero batch collectives) when the
+    # mesh's data degree > 1, else "time" (single-chip fastest, +0.7%)
+    flat_layout: str = "auto"
+
     unroll: int = 10              # lax.scan unroll for the recurrences
     remat: bool = False           # jax.checkpoint the per-frame encoder
     mesh_data: Optional[int] = None   # None → all devices

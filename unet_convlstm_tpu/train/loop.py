@@ -173,9 +173,39 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
 
     import functools
 
+    # ``pretrained_resolved`` is a RESTORE-path marker (set by
+    # _checkpoint_config when a trained checkpoint embeds its config): it
+    # tells the registry the weights already embody the pretrained init.
+    # Honor it only when this fit() actually restores those weights
+    # (resume_from); a fresh initialization from a copied checkpoint-meta
+    # config must re-resolve real pretrained weights, or the registry's
+    # never-freeze-random guard would be silently bypassed (ADVICE r4).
+    # Conversely, on resume the external .pth is never needed (the
+    # checkpoint supplies every weight), so resume survives its deletion.
+    if resume_from:
+        cfg.model.pop("pretrained_path", None)
+        cfg.model["pretrained_resolved"] = True
+    elif cfg.model.pop("pretrained_resolved", None):
+        import warnings
+
+        warnings.warn(
+            "model config carried pretrained_resolved=True into a FRESH "
+            "initialization (no resume_from) — ignoring it and re-resolving "
+            "pretrained weights; that marker is only valid when checkpoint "
+            "weights will overwrite the init", stacklevel=2)
+
     model_cfg, init_fn, apply_fn, _ = build_model(cfg.model)
+    # flat_layout "auto": time-major flatten is fastest on one chip but its
+    # [T,B]→[T·B] merge interleaves the sharded batch axis — XLA would
+    # all-gather the full input (fwd) and output-grad (bwd) EVERY step on a
+    # data mesh (the SPMD involuntary-replication class of MULTICHIP_r04).
+    # Batch-major keeps every reshape device-local (models/layout.py).
+    flat_layout = cfg.flat_layout
+    if flat_layout == "auto":
+        flat_layout = "batch" if n_data > 1 else "time"
     apply_fn = functools.partial(apply_fn, use_pallas=cfg.use_pallas,
-                                 unroll=cfg.unroll, remat=cfg.remat)
+                                 unroll=cfg.unroll, remat=cfg.remat,
+                                 flat_layout=flat_layout)
     key = jax.random.PRNGKey(cfg.seed)
     with jax.default_device(jax.devices()[0]):
         variables = init_fn(key)

@@ -123,20 +123,37 @@ def _make_accum_step_core(apply_fn: Callable,
                 f"batch size {x_raw.shape[0]} is not divisible by "
                 f"accum_steps={K} — gradient accumulation splits the batch "
                 f"into K equal microbatches")
+        if mesh is not None:
+            D = mesh.shape.get("data", 1)
+            if (x_raw.shape[0] // K) % D:
+                raise ValueError(
+                    f"microbatch {x_raw.shape[0] // K} (batch "
+                    f"{x_raw.shape[0]} / accum_steps={K}) is not divisible "
+                    f"by the mesh data degree {D} — each microbatch must "
+                    f"shard evenly over 'data' (same rule fit() enforces)")
 
         def to_micro(a):
-            # [B] batch-sharded on 'data' → [K, B/K] with each microbatch
-            # sharded on 'data'. Microbatch k = contiguous global rows
-            # [k·B/K, (k+1)·B/K) — the same composition as the
-            # single-device path (their equivalence is tested), which on a
-            # D-device mesh costs one batch-input all-to-all per step (a
-            # contiguous row range lives on a device subset). ~50 MB/step
-            # at production geometry — noise next to the step itself; a
-            # device-local composition (each device splits its own rows)
-            # would avoid the collective but change BN-microbatch
-            # semantics vs 1-device accumulation. Revisit only if a pod
-            # profile ever shows this resharding mattering.
-            a = a.reshape((K, a.shape[0] // K) + a.shape[1:])
+            # [B] batch-sharded on 'data' → [K, B/K] microbatches by
+            # STRIDED selection: microbatch k = rows {k, k+K, k+2K, …}.
+            # Chosen over the contiguous split ([k·B/K, (k+1)·B/K))
+            # because it is sharding-stable: the [B]→[B/K,K] reshape and
+            # the [K,B/K] transpose are both LOCAL under a 'data'-sharded
+            # batch axis (each device's contiguous row block factors
+            # evenly when K·D | B), so a D-device mesh runs accumulation
+            # with ZERO batch resharding. The contiguous split could not
+            # keep the sharded axis intact through the reshape, and XLA's
+            # partitioner fell back to "involuntary full
+            # rematerialization" — all-gathering the entire input batch
+            # every accumulation step (MULTICHIP_r04.json,
+            # spmd_partitioner.cc warnings; tests/test_accum.py asserts
+            # the optimized HLO is now free of it). The grouping is
+            # device-count-independent: microbatch contents AND order are
+            # identical on 1 device and on any mesh, so DP ≡ single-device
+            # accumulation exactly, BatchNorm microbatch semantics
+            # included.
+            B = a.shape[0]
+            a = a.reshape((B // K, K) + a.shape[1:])
+            a = jnp.swapaxes(a, 0, 1)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 a = jax.lax.with_sharding_constraint(
