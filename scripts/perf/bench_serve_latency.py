@@ -119,6 +119,40 @@ def main() -> int:
     print(json.dumps({"config": "bf16_B1_interleaved2",
                       **results["bf16_B1_interleaved2"]}), flush=True)
 
+    # Client-side double-buffering (VERDICT r4 #6): issue the NEXT
+    # frame's host->device transfer (async jax.device_put) BEFORE
+    # blocking on the current predict, so the transfer rides the tunnel
+    # while the chip computes. predict() accepts device arrays
+    # (jnp.asarray is a no-op on them). If B=1 latency is
+    # dispatch-bound, not transfer-bound — round 4's reading — this row
+    # changes nothing and closes the latency chapter.
+    import jax
+
+    s1 = pred.open_session(batch=1, height=args.image, width=args.image)
+    frames = [rng.random((1, 1, args.image, args.image, 2),
+                         dtype=np.float32)
+              for _ in range(args.warm + args.meas + 1)]
+    lat = []
+    nxt = jax.device_put(frames[0])
+    t_all = time.perf_counter()
+    for i in range(args.warm + args.meas):
+        cur, nxt = nxt, jax.device_put(frames[i + 1])
+        t0 = time.perf_counter()
+        pred.predict(s1, cur)
+        if i >= args.warm:
+            lat.append((time.perf_counter() - t0) * 1e3)
+        if i == args.warm - 1:
+            t_all = time.perf_counter()
+    sustained = (time.perf_counter() - t_all) * 1e3 / args.meas
+    pred.close_session(s1)
+    a = np.asarray(lat)
+    results["bf16_B1_doublebuf"] = {
+        "p50_ms": round(float(np.percentile(a, 50)), 3),
+        "p99_ms": round(float(np.percentile(a, 99)), 3),
+        "sustained_ms_per_frame": round(sustained, 3)}
+    print(json.dumps({"config": "bf16_B1_doublebuf",
+                      **results["bf16_B1_doublebuf"]}), flush=True)
+
     def bench_fused(p, n):
         """One fused predict_many request advances ALL n sessions one
         frame; latency is per fused REQUEST, so the throughput recorded

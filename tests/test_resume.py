@@ -126,3 +126,29 @@ def test_resume_past_horizon_keeps_newer_checkpoint(setup):
     assert r["history"] == []                          # nothing ran
     with open(os.path.join(last, "meta.json")) as f:
         assert json.load(f)["epoch"] == 2              # not regressed to 1
+
+
+def test_save_last_every_periodic_checkpoints(setup, monkeypatch):
+    """TrainConfig.save_last_every=N refreshes the `_last` checkpoint
+    every N healthy epochs (async, staged) — so a cold kill mid-run
+    resumes from the last periodic point instead of rewinding to the
+    last BEST epoch (round 5; the endurance drive
+    scripts/run_endurance_200ep.py exercises the real-kill path)."""
+    root, dataset = setup
+    import unet_convlstm_tpu.train.loop as loop_mod
+
+    calls = []
+    real_save = loop_mod.save_checkpoint
+
+    def spy(ckpt_dir, name, state, meta, wait=False):
+        calls.append((name, int(meta.get("epoch", -1))))
+        return real_save(ckpt_dir, name, state, meta, wait=wait)
+
+    monkeypatch.setattr(loop_mod, "save_checkpoint", spy)
+    cfg = _cfg(root, "", "periodic")
+    cfg.epochs = 5
+    cfg.save_last_every = 2
+    fit(cfg, dataset=dataset, verbose=False)
+    last_epochs = [ep for name, ep in calls if name == "custom_last"]
+    # periodic at 2 and 4, final at 5
+    assert last_epochs == [2, 4, 5], (calls,)

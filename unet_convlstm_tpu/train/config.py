@@ -57,6 +57,13 @@ class TrainConfig:
     mesh_model: int = 1
     zero1: bool = False           # shard AdamW moments over 'data' (ZeRO-1)
     checkpoint_dir: str = "checkpoints"
+    # periodic crash-recovery checkpoint: every N healthy epochs the
+    # `<model>_last` checkpoint is refreshed (async Orbax save), so a
+    # cold kill (SIGKILL/OOM/preemption) mid-run loses at most N-1
+    # epochs on resume instead of rewinding to the last BEST epoch
+    # (the only checkpoint the reference ever writes, main.py:307-323).
+    # 0 = off (the _last checkpoint is then written only at clean exit).
+    save_last_every: int = 0
     tensorboard_dir: str = ""     # optional TB scalar logging
     log_every: int = 50
     # failure detection (train/guard.py — the reference has none, SURVEY §5)

@@ -439,6 +439,19 @@ def fit(cfg: TrainConfig, dataset: Optional[NPZSequenceDataset] = None,
                 snapshot = (_snap_take(state, cfg.guard_snapshot),
                             scheduler.state_dict(), epoch)
 
+            if (cfg.checkpoint_dir and cfg.save_last_every
+                    and epoch % cfg.save_last_every == 0):
+                # periodic crash-recovery point (async save): a cold kill
+                # then resumes from here instead of the last BEST epoch
+                meta = {"config": _checkpoint_config(cfg),
+                        "val_loss": best_val, "epoch": epoch,
+                        "norm_stats": dataset.stats.to_dict(),
+                        "scheduler": scheduler.state_dict()}
+                if guard is not None:
+                    meta["guard"] = guard.state_dict()
+                save_checkpoint(cfg.checkpoint_dir, f"{model_name}_last",
+                                state, meta)
+
             if val_loss < best_val:
                 best_val = val_loss
                 if cfg.checkpoint_dir:
