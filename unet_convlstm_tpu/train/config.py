@@ -59,10 +59,14 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     # periodic crash-recovery checkpoint: every N healthy epochs the
     # `<model>_last` checkpoint is refreshed (async Orbax save), so a
-    # cold kill (SIGKILL/OOM/preemption) mid-run loses at most N-1
-    # epochs on resume instead of rewinding to the last BEST epoch
-    # (the only checkpoint the reference ever writes, main.py:307-323).
-    # 0 = off (the _last checkpoint is then written only at clean exit).
+    # cold kill (SIGKILL/OOM/preemption) mid-run loses at most ~2N
+    # epochs on resume — the save call itself plus the async commit,
+    # whose device→host transfer shares the training link and can lag
+    # by up to one more period (measured: endurance run killed at 90
+    # resumed from 70 with N=10) — instead of rewinding to the last
+    # BEST epoch (the only checkpoint the reference ever writes,
+    # main.py:307-323). 0 = off (the _last checkpoint is then written
+    # only at clean exit).
     save_last_every: int = 0
     tensorboard_dir: str = ""     # optional TB scalar logging
     log_every: int = 50
